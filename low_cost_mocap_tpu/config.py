@@ -1,0 +1,150 @@
+"""Typed configuration for the whole rig + engine.
+
+The reference scatters its constants across code: ``num_objects = 2``
+(``computer_code/api/index.py:29``), camera fps/gain/exposure
+(``computer_code/api/helpers.py:24``), marker geometry 0.095/0.15 m
+(``computer_code/api/helpers.py:425-426``), the 5 px epipolar gate
+(``computer_code/api/helpers.py:375``), the 0.15 m scale wand
+(``computer_code/api/index.py:294``), and intrinsics in
+``computer_code/api/camera-params.json``.  Here all of that is one typed,
+serialisable config object.
+
+Fixed-shape budgets (``max_blobs``, ``max_tracks``, ``max_hyp_per_cam``)
+replace the reference's dynamic Python lists so every kernel compiles to a
+static-shape XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole + radial/tangential distortion intrinsics for one camera.
+
+    Mirrors one entry of the reference's ``camera-params.json``
+    (``computer_code/api/helpers.py:188-193``): 3x3 intrinsic matrix, 5-term
+    distortion (k1, k2, p1, p2, k3) and a display rotation (multiples of 90°).
+    """
+
+    intrinsic_matrix: tuple  # 3x3 nested tuple
+    distortion_coef: tuple   # length-5
+    rotation: int = 0
+
+    def K(self) -> np.ndarray:
+        return np.asarray(self.intrinsic_matrix, dtype=np.float32)
+
+    def dist(self) -> np.ndarray:
+        return np.asarray(self.distortion_coef, dtype=np.float32)
+
+
+def _default_intrinsics(num_cameras: int, image_size: int) -> tuple:
+    f = float(image_size) * 0.85
+    c = float(image_size) / 2.0
+    K = ((f, 0.0, c), (0.0, f, c), (0.0, 0.0, 1.0))
+    return tuple(
+        CameraIntrinsics(intrinsic_matrix=K, distortion_coef=(0.0,) * 5)
+        for _ in range(num_cameras)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RigConfig:
+    """Physical rig description: cameras, marker geometry, world scale."""
+
+    num_cameras: int = 4
+    image_size: int = 320            # square frames (reference pads to square,
+                                     # computer_code/api/helpers.py:507-523)
+    cameras: tuple = ()              # tuple[CameraIntrinsics]
+    # Drone marker geometry (reference computer_code/api/helpers.py:425-426):
+    marker_dist_short: float = 0.095   # LED#3 to each arm LED
+    marker_dist_long: float = 0.15     # arm LED to arm LED
+    marker_dist_tol: float = 0.025     # gate, computer_code/api/helpers.py:441,448
+    wand_length: float = 0.15          # scale wand, computer_code/api/index.py:294
+    num_objects: int = 2               # tracked drones, computer_code/api/index.py:29
+
+    def __post_init__(self):
+        if not self.cameras:
+            object.__setattr__(
+                self, "cameras",
+                _default_intrinsics(self.num_cameras, self.image_size))
+        if len(self.cameras) != self.num_cameras:
+            raise ValueError(
+                f"{len(self.cameras)} intrinsics for {self.num_cameras} cameras")
+
+    # --- stacked array views (device-friendly) ---
+    def K_stack(self) -> np.ndarray:
+        """(C, 3, 3) stacked intrinsic matrices."""
+        return np.stack([c.K() for c in self.cameras])
+
+    def dist_stack(self) -> np.ndarray:
+        """(C, 5) stacked distortion coefficients."""
+        return np.stack([c.dist() for c in self.cameras])
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Engine/runtime knobs + static shape budgets."""
+
+    # detection (reference threshold 0.2*255, computer_code/api/helpers.py:146)
+    detect_threshold: float = 0.2
+    max_blobs: int = 8              # fixed K blob slots per camera
+    cc_iters: int = 24              # label-propagation iterations (≥ blob diameter)
+
+    # correspondence (5 px gate, computer_code/api/helpers.py:375,383)
+    epipolar_gate_px: float = 5.0
+    max_candidates_per_cam: int = 2  # gated candidates kept per camera per root
+    # hypotheses per root = (max_candidates_per_cam+1) ** (num_cameras-1)
+
+    # calibration
+    ransac_iters: int = 512
+    ransac_threshold_px: float = 1.0      # computer_code/api/index.py:246
+    ba_max_iters: int = 64
+    ba_ftol: float = 1e-2                 # computer_code/api/helpers.py:288
+    ba_loss: str = "cauchy"               # computer_code/api/helpers.py:288
+
+    # tracking (computer_code/api/KalmanFilter.py:33-34,45-47)
+    kalman_process_noise: float = 1e-2
+    kalman_measurement_noise: float = 1.0
+    lpf_cutoff_hz: float = 20.0
+    lpf_sample_hz: float = 60.0
+    lpf_order: int = 5
+
+    # runtime
+    target_fps: float = 150.0             # computer_code/api/index.py:40-41
+    serial_baud: int = 1_000_000          # computer_code/api/index.py:21
+
+    # numerics
+    dtype: str = "float32"
+
+
+def save_config(path: str, rig: RigConfig, engine: EngineConfig) -> None:
+    blob: dict[str, Any] = {
+        "version": 1,
+        "rig": dataclasses.asdict(rig),
+        "engine": dataclasses.asdict(engine),
+    }
+    with open(path, "w") as f:
+        json.dump(blob, f, indent=2)
+
+
+def load_config(path: str) -> tuple[RigConfig, EngineConfig]:
+    with open(path) as f:
+        blob = json.load(f)
+    rig_d = blob["rig"]
+    cams = tuple(
+        CameraIntrinsics(
+            intrinsic_matrix=tuple(tuple(r) for r in c["intrinsic_matrix"]),
+            distortion_coef=tuple(c["distortion_coef"]),
+            rotation=c.get("rotation", 0),
+        )
+        for c in rig_d.pop("cameras")
+    )
+    rig = RigConfig(cameras=cams, **rig_d)
+    engine = EngineConfig(**blob["engine"])
+    return rig, engine
