@@ -1,0 +1,182 @@
+"""Blob detection front-end: threshold -> connected components -> centroids.
+
+Replaces the reference's per-frame OpenCV chain — GaussianBlur + sharpen
+filter2D (``computer_code/api/helpers.py:75-81``) and
+threshold/findContours/moments (``computer_code/api/helpers.py:143-163``) —
+with a TPU-first design:
+
+- Preprocessing is ONE fused depthwise convolution: the 9x9 Gaussian and the
+  reference's 5x5 sharpen kernel are composed into a single 13x13 kernel at
+  trace time, applied to all cameras at once via ``lax.conv`` (MXU/VPU).
+- Connected components use iterative min-label propagation (a fixed number
+  of 3x3 ``reduce_window`` steps — static shapes, no data-dependent loops).
+- Per-component moments are ONE matmul: a (H*W, K) membership one-hot against
+  per-pixel features, which XLA tiles onto the MXU.
+- Output is a fixed K blob slots + validity mask per camera, replacing the
+  reference's variable-length lists with ``[[None, None]]`` sentinels
+  (``computer_code/api/helpers.py:160-161``).
+
+The whole detector vmaps over the camera axis and jits into the per-frame
+step; nothing here ever re-specialises on blob count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing: fused blur + sharpen
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    if sigma <= 0:
+        # OpenCV's default sigma for GaussianBlur(ksize, sigmaX=0)
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+# The reference's hand-tuned sharpen kernel (computer_code/api/helpers.py:76-80)
+SHARPEN_KERNEL = np.array(
+    [
+        [-2, -1, -1, -1, -2],
+        [-1, 1, 3, 1, -1],
+        [-1, 3, 4, 3, -1],
+        [-1, 1, 3, 1, -1],
+        [-2, -1, -1, -1, -2],
+    ],
+    dtype=np.float32,
+)
+
+
+@functools.lru_cache(maxsize=8)
+def fused_preprocess_kernel(blur_ksize: int = 9, sigma: float = 0.0) -> np.ndarray:
+    """Compose Gaussian blur and sharpen into one conv kernel.
+
+    Convolution is associative: sharpen * (gauss * img) == (sharpen * gauss)
+    * img, so the reference's two passes collapse into one
+    (blur_ksize + 4)^2 kernel computed once at trace time.
+    """
+    g1 = _gaussian_kernel_1d(blur_ksize, sigma)
+    g2 = np.outer(g1, g1)
+    from scipy.signal import convolve2d
+
+    return convolve2d(SHARPEN_KERNEL, g2, mode="full").astype(np.float32)
+
+
+def preprocess(frames, blur_ksize: int = 9, sigma: float = 0.0):
+    """Blur + sharpen all camera frames in one conv.
+
+    frames: (C, H, W) float32 in [0, 1].  Returns same shape, clipped to
+    [0, 1] (the uint8 saturation the reference gets implicitly).
+    """
+    k = jnp.asarray(fused_preprocess_kernel(blur_ksize, sigma))
+    kh, kw = k.shape
+    out = jax.lax.conv_general_dilated(
+        frames[:, None],                     # (C, 1, H, W)
+        k[None, None],                       # (1, 1, kh, kw)
+        window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Connected-component blob extraction
+# ---------------------------------------------------------------------------
+
+
+def _min_label_step(labels, big: int):
+    """One 8-connected min-label propagation step via reduce_window."""
+    return jax.lax.reduce_window(
+        labels,
+        np.int32(big),  # static init value (traced values are rejected)
+        jax.lax.min,
+        window_dimensions=(3, 3),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+
+
+def find_blobs(frame, threshold: float, max_blobs: int, cc_iters: int = 24,
+               integer_centroids: bool = False):
+    """Detect up to ``max_blobs`` bright blobs in one frame.
+
+    frame: (H, W) float32 in [0, 1].
+    Returns (centroids (K, 2) xy pixels, valid (K,) bool, sizes (K,) f32).
+
+    Semantics match ``Cameras._find_dot``
+    (``computer_code/api/helpers.py:143-163``): binary threshold at
+    ``threshold`` (reference: 0.2), connected regions, centroid per region.
+    Components are reported in raster order of their topmost-leftmost pixel;
+    ``integer_centroids=True`` reproduces the reference's ``int()`` cast.
+    """
+    H, W = frame.shape
+    big = H * W  # static sentinel label
+    mask = frame > threshold
+
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    labels = jnp.where(mask, idx, big)
+
+    def body(_, lab):
+        prop = _min_label_step(lab, big)
+        return jnp.where(mask, prop, big)
+
+    labels = jax.lax.fori_loop(0, cc_iters, body, labels)
+
+    # Roots: masked pixels whose final label is their own index.
+    roots = mask & (labels == idx)
+    # First K roots in raster order: top_k of negated indices.
+    root_scores = jnp.where(roots, -idx, -big)
+    neg_best, _ = jax.lax.top_k(root_scores.reshape(-1), max_blobs)
+    root_ids = -neg_best                       # ascending raster order
+    slot_valid = root_ids < big
+
+    # Per-component moments as ONE matmul on the MXU:
+    # membership (K, H*W) against features (H*W, 3) = [1, x, y].
+    flat_labels = labels.reshape(-1)
+    membership = (flat_labels[None, :] == root_ids[:, None]).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    ones = jnp.ones_like(xs)
+    feats = jnp.stack([ones, xs, ys], axis=-1)           # (H*W, 3)
+    moments = jnp.dot(membership, feats,
+                      preferred_element_type=jnp.float32)  # (K, 3)
+    m00 = moments[:, 0]
+    m00_safe = jnp.maximum(m00, 1.0)
+    cx = moments[:, 1] / m00_safe
+    cy = moments[:, 2] / m00_safe
+    if integer_centroids:
+        cx = jnp.floor(cx)
+        cy = jnp.floor(cy)
+    centroids = jnp.stack([cx, cy], axis=-1)
+    valid = slot_valid & (m00 > 0)
+    centroids = jnp.where(valid[:, None], centroids, 0.0)
+    return centroids, valid, m00 * valid
+
+
+def find_blobs_multi(frames, threshold: float, max_blobs: int,
+                     cc_iters: int = 24, integer_centroids: bool = False):
+    """vmapped ``find_blobs`` over the camera axis.
+
+    frames: (C, H, W) -> centroids (C, K, 2), valid (C, K), sizes (C, K).
+    """
+    fn = functools.partial(
+        find_blobs,
+        threshold=threshold,
+        max_blobs=max_blobs,
+        cc_iters=cc_iters,
+        integer_centroids=integer_centroids,
+    )
+    return jax.vmap(fn)(frames)

@@ -1,0 +1,167 @@
+"""Batched constant-acceleration Kalman bank + low-pass post-filtering.
+
+Replaces ``KalmanFilter`` (``computer_code/api/KalmanFilter.py``), which
+wraps one ``cv.KalmanFilter`` per drone, with a functional, fully batched
+filter bank: state is a pytree, the update is one jitted function vmapped
+over the object axis, and an offline ``lax.scan`` driver smooths whole
+recorded sequences on device.
+
+Model (identical to the reference):
+  - 9-state [pos(3), vel(3), acc(3)] constant-acceleration model, 6-dim
+    [pos, vel] measurement (``KalmanFilter.py:7-9,35-40``);
+  - per-step dt rewritten into F (``KalmanFilter.py:65-67``);
+  - Q = 1e-2 I, R = 1 I (``KalmanFilter.py:33-34``);
+  - lazy init from the first candidate position (``KalmanFilter.py:69-73``);
+  - nearest-neighbour association of candidate detections to the prediction
+    (``KalmanFilter.py:75-78``);
+  - velocity measured by finite difference against the previous associated
+    position (``KalmanFilter.py:79``);
+  - the reported pose is the *predicted* state (statePre), not the corrected
+    one — a reference quirk kept for parity (``KalmanFilter.py:83,94``);
+  - heading and velocity pass through order-5 Butterworth low-pass filters
+    (``KalmanFilter.py:85-91``) — here the O(1) streaming bank of
+    ``ops/lowpass.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from low_cost_mocap_tpu.ops import lowpass
+
+
+class KalmanState(NamedTuple):
+    x: jnp.ndarray            # (O, 9) statePost
+    P: jnp.ndarray            # (O, 9, 9) errorCovPost
+    initialized: jnp.ndarray  # (O,) bool
+    prev_pos: jnp.ndarray     # (O, 3)
+    lpf_heading: jnp.ndarray  # (O, 5)
+    lpf_vel: jnp.ndarray      # (O, 3, 5)
+
+
+class TrackedObjects(NamedTuple):
+    pos: jnp.ndarray       # (O, 3)
+    vel: jnp.ndarray       # (O, 3) low-passed
+    heading: jnp.ndarray   # (O,) low-passed
+    valid: jnp.ndarray     # (O,) bool — object had a detection this frame
+
+
+def init_state(num_objects: int, dtype=jnp.float32) -> KalmanState:
+    return KalmanState(
+        x=jnp.zeros((num_objects, 9), dtype),
+        P=jnp.tile(jnp.eye(9, dtype=dtype), (num_objects, 1, 1)),
+        initialized=jnp.zeros((num_objects,), bool),
+        prev_pos=jnp.zeros((num_objects, 3), dtype),
+        lpf_heading=jnp.zeros((num_objects, 5), dtype),
+        lpf_vel=jnp.zeros((num_objects, 3, 5), dtype),
+    )
+
+
+def _transition(dt, dtype):
+    F = jnp.eye(9, dtype=dtype)
+    I3 = jnp.eye(3, dtype=dtype)
+    F = F.at[0:3, 3:6].set(dt * I3)
+    F = F.at[3:6, 6:9].set(dt * I3)
+    F = F.at[0:3, 6:9].set(0.5 * dt * dt * I3)
+    return F
+
+
+@functools.partial(jax.jit, static_argnames=("process_noise", "meas_noise"))
+def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
+           dt, *, process_noise: float = 1e-2, meas_noise: float = 1.0):
+    """One tracking step for the whole bank.
+
+    cand_*: (M,) candidate detections from ``ops.rigid.locate_objects``
+    (pos (M, 3), heading (M,), index (M,), valid (M,)).
+    Returns (new_state, TrackedObjects).
+    """
+    O = state.x.shape[0]
+    dtype = state.x.dtype
+    dt = jnp.asarray(dt, dtype)
+    F = _transition(dt, dtype)
+    Q = jnp.eye(9, dtype=dtype) * process_noise
+    R = jnp.eye(6, dtype=dtype) * meas_noise
+    H = jnp.zeros((6, 9), dtype).at[:, :6].set(jnp.eye(6, dtype=dtype))
+    b, a = lowpass.butter_coeffs()
+
+    def per_object(o, xs):
+        x, P, inited, prev_pos, lh, lv = xs
+        mine = cand_valid & (cand_index == o)
+        any_mine = jnp.any(mine)
+
+        # lazy init from the first (lowest-slot) candidate
+        first = jnp.argmax(mine)
+        init_pos = cand_pos[first]
+        need_init = any_mine & ~inited
+        x = jnp.where(need_init, x.at[:3].set(init_pos), x)
+        # also seed prev_pos, so the first finite-difference velocity is 0.
+        # (Deliberate divergence: the reference leaves prev at the origin,
+        # so its first velocity measurement is the garbage (pos - 0)/dt —
+        # computer_code/api/KalmanFilter.py:21,79.)
+        prev_pos = jnp.where(need_init, init_pos, prev_pos)
+        inited = inited | need_init
+
+        # predict
+        x_pre = F @ x
+        P_pre = F @ P @ F.T + Q
+
+        # associate: nearest candidate to predicted position
+        d2 = jnp.sum((cand_pos - x_pre[:3]) ** 2, axis=-1)
+        d2 = jnp.where(mine, d2, jnp.inf)
+        ci = jnp.argmin(d2)
+        new_pos = cand_pos[ci]
+        new_vel = (new_pos - prev_pos) / jnp.maximum(dt, 1e-6)
+
+        # correct
+        z = jnp.concatenate([new_pos, new_vel])
+        S = H @ P_pre @ H.T + R
+        K = P_pre @ H.T @ jnp.linalg.inv(S)
+        x_post = x_pre + K @ (z - H @ x_pre)
+        P_post = (jnp.eye(9, dtype=dtype) - K @ H) @ P_pre
+
+        # low-pass heading + predicted velocity
+        lh2, heading_f = lowpass.lpf_step(lh, cand_heading[ci], b, a)
+        lv2, vel_f = lowpass.lpf_step(lv, x_pre[3:6], b, a)
+
+        # commit only when this object had a detection (reference `continue`)
+        upd = lambda new, old: jnp.where(any_mine, new, old)
+        out = (
+            upd(x_post, x),
+            upd(P_post, P),
+            inited,
+            upd(new_pos, prev_pos),
+            upd(lh2, lh),
+            upd(lv2, lv),
+        )
+        # reported pose/vel: the PREDICTED state (reference statePre quirk)
+        return out, (x_pre[:3], vel_f, heading_f, any_mine)
+
+    ids = jnp.arange(O)
+    xs = (state.x, state.P, state.initialized, state.prev_pos,
+          state.lpf_heading, state.lpf_vel)
+    new_xs, (pos, vel, heading, ok) = jax.vmap(per_object)(ids, xs)
+    new_state = KalmanState(*new_xs)
+    pos = jnp.where(ok[:, None], pos, 0.0)
+    vel = jnp.where(ok[:, None], vel, 0.0)
+    heading = jnp.where(ok, heading, 0.0)
+    return new_state, TrackedObjects(pos, vel, heading, ok)
+
+
+def track_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
+                   cand_index_seq, cand_valid_seq, dts, **kw):
+    """Offline smoothing of a recorded sequence via one lax.scan.
+
+    cand_*_seq: (T, M, ...) per-frame candidate tensors; dts: (T,).
+    """
+    def step(s, inputs):
+        cp, ch, ci, cv, dt = inputs
+        s2, out = update(s, cp, ch, ci, cv, dt, **kw)
+        return s2, out
+
+    return jax.lax.scan(
+        step, state,
+        (cand_pos_seq, cand_heading_seq, cand_index_seq, cand_valid_seq, dts))

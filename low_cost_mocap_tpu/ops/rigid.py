@@ -1,0 +1,103 @@
+"""Rigid-body ("drone") locator: marker-triple fit on triangulated points.
+
+Replaces ``locate_objects`` (``computer_code/api/helpers.py:424-480``).
+
+Reference semantics (kept exactly):
+  - pairwise distance matrix over candidate points (``helpers.py:432-434``);
+  - a drone is a point i with >= 2 neighbours at ``dist1`` (0.095 m ± 0.025)
+    whose neighbour pair sits ``dist2`` (0.15 m ± 0.025) apart
+    (``helpers.py:440-448``);
+  - greedy over i in index order, skipping already-consumed roots
+    (``helpers.py:436-438``); the first qualifying (j, k) pair in cartesian
+    order wins (``helpers.py:444-478``);
+  - position = midpoint of the arm pair; heading = atan2 of the arm vector
+    wrapped to [-pi/2, pi/2] and negated (``helpers.py:458-466``);
+  - drone index = which side of the arm axis the third LED sits
+    (``helpers.py:469``).
+
+TPU-first: the nested Python loops become one (N, N, N) boolean candidate
+tensor + a ``lax.fori_loop`` over roots carrying the consumed mask — fixed
+shapes, one XLA program, vmappable over batches of frames for offline runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LocatedObjects(NamedTuple):
+    pos: jnp.ndarray       # (N, 3) drone positions (midpoint of arm pair)
+    heading: jnp.ndarray   # (N,)
+    error: jnp.ndarray     # (N,) mean reprojection error of the 3 markers
+    index: jnp.ndarray     # (N,) drone index (0/1 by third-LED side)
+    valid: jnp.ndarray     # (N,) slot validity
+
+
+@functools.partial(jax.jit, static_argnames=())
+def locate_objects(points, errors, valid,
+                   dist1: float = 0.095, dist2: float = 0.15,
+                   tol: float = 0.025) -> LocatedObjects:
+    """Find drone marker triples among triangulated points.
+
+    points: (N, 3); errors: (N,); valid: (N,) — the correspondence output.
+    Constants default to the reference's marker geometry
+    (``computer_code/api/helpers.py:425-426``).
+    """
+    N = points.shape[0]
+    diff = points[:, None, :] - points[None, :, :]
+    D = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))  # (N, N)
+
+    vv = valid[:, None] & valid[None, :]
+    near1 = (jnp.abs(D - dist1) < tol) & vv          # root->arm candidates
+    pair_ok = jnp.abs(D - dist2) <= tol              # arm pair geometry
+    # cand[i, j, k]: i is root, (j, k) its arm pair (reference cartesian
+    # product includes ordered pairs; first hit in row-major order wins)
+    cand = near1[:, :, None] & near1[:, None, :] & pair_ok[None, :, :]
+    # exclude degenerate j == k (D[j,j]=0 fails pair_ok anyway, but be safe)
+    eye = jnp.eye(N, dtype=bool)
+    cand = cand & ~eye[None, :, :]
+
+    def body(i, carry):
+        consumed, out_pos, out_heading, out_err, out_idx, out_valid = carry
+        row = cand[i] & valid[i] & ~consumed[i]      # (N, N)
+        flat = row.reshape(-1)
+        hit = jnp.any(flat)
+        jk = jnp.argmax(flat)                        # first True (row-major)
+        j = jk // N
+        k = jk % N
+
+        pj = points[j]
+        pk = points[k]
+        loc = (pj + pk) / 2.0
+        hv = pj - pk
+        hv = hv / jnp.maximum(jnp.linalg.norm(hv), 1e-12)
+        heading = jnp.arctan2(hv[1], hv[0])
+        heading = jnp.where(heading > jnp.pi / 2, heading - jnp.pi, heading)
+        heading = jnp.where(heading < -jnp.pi / 2, heading + jnp.pi, heading)
+        err = (errors[i] + errors[j] + errors[k]) / 3.0
+        drone_idx = jnp.where((points[i] - loc)[1] > 0, 0, 1)
+
+        consumed = consumed.at[i].set(consumed[i] | hit)
+        consumed = consumed.at[j].set(consumed[j] | hit)
+        consumed = consumed.at[k].set(consumed[k] | hit)
+        out_pos = out_pos.at[i].set(jnp.where(hit, loc, 0.0))
+        out_heading = out_heading.at[i].set(jnp.where(hit, -heading, 0.0))
+        out_err = out_err.at[i].set(jnp.where(hit, err, jnp.inf))
+        out_idx = out_idx.at[i].set(jnp.where(hit, drone_idx, -1))
+        out_valid = out_valid.at[i].set(hit)
+        return consumed, out_pos, out_heading, out_err, out_idx, out_valid
+
+    init = (
+        jnp.zeros((N,), bool),
+        jnp.zeros((N, 3), points.dtype),
+        jnp.zeros((N,), points.dtype),
+        jnp.full((N,), jnp.inf, points.dtype),
+        jnp.full((N,), -1, jnp.int32),
+        jnp.zeros((N,), bool),
+    )
+    _, pos, heading, err, idx, ok = jax.lax.fori_loop(0, N, body, init)
+    return LocatedObjects(pos, heading, err, idx, ok)

@@ -1,0 +1,142 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.signal import butter, lfilter
+
+from low_cost_mocap_tpu.ops import kalman, lowpass
+
+
+def test_lpf_step_matches_scipy_lfilter():
+    b, a = lowpass.butter_coeffs()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=200).astype(np.float32)
+    ref = lfilter(b.astype(np.float64), a.astype(np.float64), x.astype(np.float64))
+    s = lowpass.init_state(())
+    ys = []
+    for v in x:
+        s, y = lowpass.lpf_step(s, jnp.asarray(v), b, a)
+        ys.append(float(y))
+    np.testing.assert_allclose(ys, ref, atol=1e-3)
+
+
+def test_lpf_scan_matches_step_loop():
+    b, a = lowpass.butter_coeffs()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(50, 3)).astype(np.float32)
+    ys_scan = np.asarray(lowpass.lpf_scan(jnp.asarray(x), b, a))
+    s = lowpass.init_state((3,))
+    for t in range(50):
+        s, y = lowpass.lpf_step(s, jnp.asarray(x[t]), b, a)
+        np.testing.assert_allclose(np.asarray(y), ys_scan[t], atol=1e-5)
+
+
+def _simulate_track(T=60, dt=1.0 / 60.0, seed=0):
+    """Ballistic-ish smooth trajectory + noisy detections."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) * dt
+    pos = np.stack([
+        0.5 * np.sin(1.5 * t),
+        0.3 * np.cos(1.1 * t),
+        0.8 + 0.1 * t,
+    ], axis=-1).astype(np.float32)
+    meas = pos + rng.normal(scale=0.004, size=pos.shape).astype(np.float32)
+    return pos, meas, dt
+
+
+def test_kalman_tracks_single_object():
+    pos, meas, dt = _simulate_track(T=150)
+    st = kalman.init_state(1)
+    outs = []
+    for z in meas:
+        cp = jnp.asarray(z[None])
+        st, out = kalman.update(st, cp, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+                                jnp.ones((1,), bool), dt)
+        outs.append(np.asarray(out.pos)[0])
+    outs = np.asarray(outs)
+    err = np.linalg.norm(outs - pos, axis=1)
+    assert err[20:].mean() < 0.02
+
+
+def test_kalman_matches_opencv_filter():
+    """Our predict/correct must match cv.KalmanFilter numerically."""
+    import cv2 as cv
+    pos, meas, dt = _simulate_track(T=30, seed=2)
+
+    kf = cv.KalmanFilter(9, 6)
+    kf.processNoiseCov = np.eye(9, dtype=np.float32) * 1e-2
+    kf.measurementNoiseCov = np.eye(6, dtype=np.float32)
+    kf.measurementMatrix = np.hstack([np.eye(6), np.zeros((6, 3))]).astype(np.float32)
+    kf.statePost = np.zeros((9, 1), np.float32)
+    kf.errorCovPost = np.eye(9, dtype=np.float32)
+
+    st = kalman.init_state(1)
+    prev = np.zeros(3, np.float32)
+    first = True
+    for z in meas:
+        F = np.eye(9, dtype=np.float32)
+        F[:3, 3:6] = dt * np.eye(3)
+        F[3:6, 6:9] = dt * np.eye(3)
+        F[:3, 6:9] = 0.5 * dt * dt * np.eye(3)
+        kf.transitionMatrix = F
+        if first:
+            A = kf.statePost
+            A[0:3] = z.reshape(3, 1)
+            kf.statePost = A
+            prev = z.copy()  # our init also seeds prev_pos (documented fix)
+            first = False
+        pred = kf.predict()[:3, 0]
+        vel = (z - prev) / dt
+        prev = z.copy()
+        kf.correct(np.concatenate([z, vel]).astype(np.float32).reshape(6, 1))
+
+        st, out = kalman.update(st, jnp.asarray(z[None]), jnp.zeros((1,)),
+                                jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                                dt)
+        np.testing.assert_allclose(np.asarray(out.pos)[0], pred, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(st.x)[0], kf.statePost[:, 0], atol=1e-3)
+
+
+def test_kalman_multi_object_association():
+    """Two objects with interleaved candidate slots track independently."""
+    dt = 1.0 / 60.0
+    st = kalman.init_state(2)
+    p0 = np.array([0.0, 0.0, 1.0], np.float32)
+    p1 = np.array([1.0, 1.0, 0.5], np.float32)
+    for t in range(40):
+        c0 = p0 + np.array([0.002 * t, 0, 0], np.float32)
+        c1 = p1 - np.array([0, 0.002 * t, 0], np.float32)
+        cand_pos = jnp.asarray(np.stack([c1, c0]))   # slots swapped on purpose
+        cand_idx = jnp.asarray(np.array([1, 0], np.int32))
+        st, out = kalman.update(st, cand_pos, jnp.zeros((2,)), cand_idx,
+                                jnp.ones((2,), bool), dt)
+    final = np.asarray(out.pos)
+    assert np.linalg.norm(final[0] - (p0 + [0.078, 0, 0])) < 0.02
+    assert np.linalg.norm(final[1] - (p1 - [0, 0.078, 0])) < 0.02
+
+
+def test_kalman_missing_detection_keeps_state():
+    dt = 1.0 / 60.0
+    st = kalman.init_state(1)
+    z = np.array([0.5, 0.5, 0.5], np.float32)
+    st, out1 = kalman.update(st, jnp.asarray(z[None]), jnp.zeros((1,)),
+                             jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), dt)
+    x_before = np.asarray(st.x).copy()
+    st, out2 = kalman.update(st, jnp.asarray(z[None]), jnp.zeros((1,)),
+                             jnp.zeros((1,), jnp.int32), jnp.zeros((1,), bool), dt)
+    assert not bool(np.asarray(out2.valid)[0])
+    np.testing.assert_allclose(np.asarray(st.x), x_before, atol=0)
+
+
+def test_track_sequence_scan_matches_stepwise():
+    pos, meas, dt = _simulate_track(T=25, seed=3)
+    T = len(meas)
+    cp = jnp.asarray(meas[:, None, :])
+    ch = jnp.zeros((T, 1))
+    ci = jnp.zeros((T, 1), jnp.int32)
+    cv_ = jnp.ones((T, 1), bool)
+    dts = jnp.full((T,), dt)
+    st = kalman.init_state(1)
+    _, outs = kalman.track_sequence(st, cp, ch, ci, cv_, dts)
+    st2 = kalman.init_state(1)
+    for t in range(T):
+        st2, o = kalman.update(st2, cp[t], ch[t], ci[t], cv_[t], dt)
+        np.testing.assert_allclose(np.asarray(outs.pos)[t], np.asarray(o.pos), atol=1e-5)
