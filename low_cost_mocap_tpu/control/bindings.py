@@ -1,0 +1,203 @@
+"""ctypes bindings to the native control runtime (liblcmcontrol.so).
+
+The reference's control path is native C++ on ESP32s (receiver/sender
+firmware, SURVEY.md §2.2 N1/N2) plus the C++ Ruckig library for trajectory
+generation (``computer_code/api/index.py:87``).  This module binds their
+host-side native re-implementations; the library auto-builds from source on
+first use (g++, no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_LIB_PATH = _NATIVE_DIR / "liblcmcontrol.so"
+
+
+def _build_lib() -> None:
+    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+
+
+def _load() -> ctypes.CDLL:
+    sources = list(_NATIVE_DIR.glob("*.cc")) + list(_NATIVE_DIR.glob("*.h"))
+    if (not _LIB_PATH.exists()
+            or any(s.stat().st_mtime > _LIB_PATH.stat().st_mtime
+                   for s in sources)):
+        _build_lib()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    lib.lcm_bank_create.restype = ctypes.c_void_p
+    lib.lcm_bank_create.argtypes = [ctypes.c_int]
+    lib.lcm_bank_destroy.argtypes = [ctypes.c_void_p]
+    lib.lcm_bank_feed.restype = ctypes.c_int
+    lib.lcm_bank_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_int, ctypes.c_uint64]
+    lib.lcm_bank_step.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_uint64,
+                                  ctypes.POINTER(ctypes.c_int16)]
+    lib.lcm_bank_armed.restype = ctypes.c_int
+    lib.lcm_bank_armed.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.lcm_bank_pwm.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_double)]
+
+    lib.lcm_sim_create.restype = ctypes.c_void_p
+    lib.lcm_sim_destroy.argtypes = [ctypes.c_void_p]
+    lib.lcm_sim_step.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_int16),
+                                 ctypes.c_double]
+    lib.lcm_sim_set_state.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_double),
+                                      ctypes.POINTER(ctypes.c_double),
+                                      ctypes.c_double]
+    lib.lcm_sim_get_state.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_double),
+                                      ctypes.POINTER(ctypes.c_double),
+                                      ctypes.POINTER(ctypes.c_double)]
+
+    lib.lcm_sbus_encode.argtypes = [ctypes.POINTER(ctypes.c_uint16),
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_uint8)]
+    lib.lcm_sbus_decode.restype = ctypes.c_int
+    lib.lcm_sbus_decode.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_uint16),
+                                    ctypes.POINTER(ctypes.c_int)]
+
+    lib.lcm_otg_plan.restype = ctypes.c_int
+    lib.lcm_otg_plan.argtypes = [ctypes.c_int] + \
+        [ctypes.POINTER(ctypes.c_double)] * 5 + \
+        [ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    return lib
+
+
+_lib: ctypes.CDLL | None = None
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class CascadeBank:
+    """Bank of per-drone control cascades with reference wire framing."""
+
+    def __init__(self, num_drones: int):
+        self._lib = get_lib()
+        self._h = self._lib.lcm_bank_create(num_drones)
+        self.num_drones = num_drones
+
+    def feed(self, frame: bytes, now_us: int) -> int:
+        """One '<digit><json>' frame (computer_code/api/helpers.py:121)."""
+        return self._lib.lcm_bank_feed(self._h, frame, len(frame), now_us)
+
+    def feed_command(self, drone_index: int, payload: dict, now_us: int) -> int:
+        import json
+
+        frame = f"{drone_index}{json.dumps(payload)}".encode()
+        return self.feed(frame, now_us)
+
+    def step(self, drone_index: int, now_us: int) -> np.ndarray:
+        out = np.zeros(16, np.int16)
+        self._lib.lcm_bank_step(
+            self._h, drone_index, now_us,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return out
+
+    def armed(self, drone_index: int) -> bool:
+        return bool(self._lib.lcm_bank_armed(self._h, drone_index))
+
+    def pwm(self, drone_index: int) -> np.ndarray:
+        out = np.zeros(4, np.float64)
+        self._lib.lcm_bank_pwm(self._h, drone_index, _dptr(out))
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lcm_bank_destroy(self._h)
+            self._h = None
+
+
+class DroneSimulator:
+    """Point-mass quadrotor consuming cascade SBUS channels."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._h = self._lib.lcm_sim_create()
+
+    def step(self, channels: np.ndarray, dt: float) -> None:
+        ch = np.ascontiguousarray(channels, np.int16)
+        self._lib.lcm_sim_step(
+            self._h, ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), dt)
+
+    def set_state(self, pos, vel=(0, 0, 0), yaw: float = 0.0) -> None:
+        p = np.ascontiguousarray(pos, np.float64)
+        v = np.ascontiguousarray(vel, np.float64)
+        self._lib.lcm_sim_set_state(self._h, _dptr(p), _dptr(v), yaw)
+
+    def get_state(self):
+        p = np.zeros(3, np.float64)
+        v = np.zeros(3, np.float64)
+        yaw = ctypes.c_double()
+        self._lib.lcm_sim_get_state(self._h, _dptr(p), _dptr(v),
+                                    ctypes.byref(yaw))
+        return p, v, yaw.value
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lcm_sim_destroy(self._h)
+            self._h = None
+
+
+def sbus_encode(channels: np.ndarray, flags: int = 0) -> bytes:
+    ch = np.ascontiguousarray(channels, np.uint16)
+    out = np.zeros(25, np.uint8)
+    get_lib().lcm_sbus_encode(
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), flags,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes()
+
+
+def sbus_decode(frame: bytes):
+    buf = np.frombuffer(frame, np.uint8).copy()
+    ch = np.zeros(16, np.uint16)
+    flags = ctypes.c_int()
+    ok = get_lib().lcm_sbus_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(flags))
+    if not ok:
+        return None
+    return ch, flags.value
+
+
+def plan_trajectory_segment(start, end, max_vel, max_accel, max_jerk,
+                            timestep: float, max_steps: int = 100000):
+    """Jerk-limited synchronized multi-DoF segment (Ruckig role).
+
+    start/end: (D,) positions; limits scalars or (D,).  Returns (N, D)
+    setpoints sampled at ``timestep``.
+    """
+    start = np.ascontiguousarray(start, np.float64)
+    end = np.ascontiguousarray(end, np.float64)
+    D = len(start)
+
+    def lim(x):
+        return np.ascontiguousarray(np.broadcast_to(np.asarray(x, np.float64), (D,)))
+
+    out = np.zeros((max_steps, D), np.float64)
+    n = get_lib().lcm_otg_plan(
+        D, _dptr(start), _dptr(end), _dptr(lim(max_vel)),
+        _dptr(lim(max_accel)), _dptr(lim(max_jerk)), timestep,
+        _dptr(out.reshape(-1)), max_steps)
+    return out[:n].copy()
