@@ -125,9 +125,13 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
     obj_pts_world = world.to_world(match["object_points"], to_world_matrix)
     obj_pts_world = jnp.where(match["valid"][:, None], obj_pts_world, 0.0)
 
+    # heading/side axes (0, 2): the horizontal plane of the engine's world
+    # convention (component 1 = up after helpers.py:102's swap — see
+    # ops/rigid.py docstring)
     located = rigid.locate_objects(obj_pts_world, match["errors"],
                                    match["valid"], dist1=marker_dist1,
-                                   dist2=marker_dist2, tol=marker_tol)
+                                   dist2=marker_dist2, tol=marker_tol,
+                                   ax_h1=0, ax_h2=2)
     new_state, tracked = kalman.update(
         state, located.pos, located.heading, located.index, located.valid, dt)
 

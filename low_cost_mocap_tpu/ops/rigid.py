@@ -37,15 +37,24 @@ class LocatedObjects(NamedTuple):
     valid: jnp.ndarray     # (N,) slot validity
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("ax_h1", "ax_h2"))
 def locate_objects(points, errors, valid,
                    dist1: float = 0.095, dist2: float = 0.15,
-                   tol: float = 0.025) -> LocatedObjects:
+                   tol: float = 0.025, ax_h1: int = 0,
+                   ax_h2: int = 1) -> LocatedObjects:
     """Find drone marker triples among triangulated points.
 
     points: (N, 3); errors: (N,); valid: (N,) — the correspondence output.
     Constants default to the reference's marker geometry
     (``computer_code/api/helpers.py:425-426``).
+
+    ``ax_h1``/``ax_h2`` select the two components used for heading and the
+    third-LED side test.  The reference hardcodes components (0, 1)
+    (``helpers.py:463,469``), but in the engine's world convention
+    component 1 is the UP axis (the final y/z swap of ``helpers.py:102``
+    puts height there), which would make heading a pitch angle and the
+    drone-index side test pure noise for a flat marker layout — so the
+    pipeline passes the horizontal pair (0, 2).
     """
     N = points.shape[0]
     diff = points[:, None, :] - points[None, :, :]
@@ -75,11 +84,11 @@ def locate_objects(points, errors, valid,
         loc = (pj + pk) / 2.0
         hv = pj - pk
         hv = hv / jnp.maximum(jnp.linalg.norm(hv), 1e-12)
-        heading = jnp.arctan2(hv[1], hv[0])
+        heading = jnp.arctan2(hv[ax_h2], hv[ax_h1])
         heading = jnp.where(heading > jnp.pi / 2, heading - jnp.pi, heading)
         heading = jnp.where(heading < -jnp.pi / 2, heading + jnp.pi, heading)
         err = (errors[i] + errors[j] + errors[k]) / 3.0
-        drone_idx = jnp.where((points[i] - loc)[1] > 0, 0, 1)
+        drone_idx = jnp.where((points[i] - loc)[ax_h2] > 0, 0, 1)
 
         consumed = consumed.at[i].set(consumed[i] | hit)
         consumed = consumed.at[j].set(consumed[j] | hit)

@@ -1,0 +1,358 @@
+"""The streaming mocap engine: capture loop + event surface.
+
+This is the L3/L4 replacement for the reference's ``Cameras`` singleton and
+Flask-SocketIO handlers (``computer_code/api/helpers.py:16-200``,
+``computer_code/api/index.py``).  Differences by design:
+
+- all math lives in the jitted per-frame step (``models/pipeline.py``) —
+  the engine is orchestration only;
+- mode flags (capture / triangulate / locate) mirror the reference
+  (``helpers.py:28-33``) but select which *outputs* to emit — the compiled
+  step never changes shape, so toggling modes never recompiles;
+- camera poses and the world matrix are server-side state with versioned
+  persistence (``utils/artifacts.py``) instead of living only in the
+  browser (reference quirk: ``src/App.tsx:44-45``, SURVEY.md §1);
+- the event surface (names + payloads) matches the reference's Socket.IO
+  contract exactly (SURVEY.md §2.3) so the reference frontend can connect.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+from low_cost_mocap_tpu.config import EngineConfig, RigConfig
+from low_cost_mocap_tpu.models.pipeline import frame_step
+from low_cost_mocap_tpu.ops import kalman as kalman_ops
+from low_cost_mocap_tpu.runtime.serial_link import SerialLink
+from low_cost_mocap_tpu.runtime.sources import FrameSource
+
+
+class Engine:
+    def __init__(self, rig: RigConfig, cfg: EngineConfig, source: FrameSource,
+                 link: SerialLink, preprocess_frames: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self.rig = rig
+        self.cfg = cfg
+        self.source = source
+        self.link = link
+
+        self.is_capturing_points = False
+        self.is_triangulating_points = False
+        self.is_locating_objects = False
+
+        self.camera_poses: tuple[np.ndarray, np.ndarray] | None = None
+        self.to_world_matrix = np.eye(4, dtype=np.float32)
+        self.drone_armed = [False] * rig.num_objects
+        self.captured_points: list[list[list[float | None]]] = []
+
+        self._K = jnp.asarray(rig.K_stack())
+        self._dist = jnp.asarray(rig.dist_stack())
+        self._Ps = jnp.tile(jnp.eye(3, 4), (rig.num_cameras, 1, 1))
+        self._M = jnp.asarray(self.to_world_matrix)
+        self._kalman_state = kalman_ops.init_state(rig.num_objects)
+
+        self._step = jax.jit(functools.partial(
+            frame_step,
+            threshold=cfg.detect_threshold,
+            max_blobs=cfg.max_blobs,
+            cc_iters=cfg.cc_iters,
+            gate_px=cfg.epipolar_gate_px,
+            max_candidates=cfg.max_candidates_per_cam,
+            marker_dist1=rig.marker_dist_short,
+            marker_dist2=rig.marker_dist_long,
+            marker_tol=rig.marker_dist_tol,
+            do_preprocess=preprocess_frames,
+            stage="locate",
+        ), donate_argnums=(0,))
+
+        self._listeners: dict[str, list[Callable[[Any], None]]] = {}
+        self._thread: threading.Thread | None = None
+        self._running = False
+        self._last_frames: np.ndarray | None = None
+        self._last_out = None
+        self._frame_lock = threading.Lock()
+        self.fps = 0.0
+        self.frame_count = 0
+
+    # ------------------------------------------------------------ events
+
+    def on(self, event: str, cb: Callable[[Any], None]) -> None:
+        self._listeners.setdefault(event, []).append(cb)
+
+    def emit(self, event: str, data: Any) -> None:
+        for cb in self._listeners.get(event, []):
+            cb(data)
+
+    # ---------------------------------------------------- client handlers
+    # One method per reference Socket.IO event (SURVEY.md §2.3).
+
+    def handle(self, event: str, data: Any) -> None:
+        name = "handle_" + event.replace("-", "_")
+        fn = getattr(self, name, None)
+        if fn is None:
+            raise KeyError(f"unknown event {event!r}")
+        fn(data if data is not None else {})
+
+    def handle_update_camera_settings(self, data):
+        # computer_code/api/index.py:212-216
+        self.source.set_settings(data["exposure"], data["gain"])
+
+    def handle_capture_points(self, data):
+        # computer_code/api/index.py:218-227
+        if data["startOrStop"] == "start":
+            self.captured_points = []
+            self.is_capturing_points = True
+        else:
+            self.is_capturing_points = False
+
+    def handle_calculate_camera_pose(self, data):
+        # computer_code/api/index.py:229-277
+        import jax
+        import jax.numpy as jnp
+        from low_cost_mocap_tpu.models import calibrator
+
+        raw = data["cameraPoints"]  # (frames, cameras, 2) with None entries
+        pts = np.zeros((len(raw), self.rig.num_cameras, 2), np.float32)
+        mask = np.zeros((len(raw), self.rig.num_cameras), bool)
+        for f, per_cam in enumerate(raw):
+            for c, p in enumerate(per_cam):
+                if p is not None and p[0] is not None:
+                    pts[f, c] = p
+                    mask[f, c] = True
+        res = calibrator.calibrate(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask),
+            self._K, ransac_iters=self.cfg.ransac_iters,
+            threshold_px=self.cfg.ransac_threshold_px,
+            ba_iters=self.cfg.ba_max_iters)
+        Rs = np.asarray(res.Rs)
+        ts = np.asarray(res.ts)
+        self.set_camera_poses(Rs, ts)
+        self.emit("camera-pose", {
+            "error": float(res.mean_error),
+            "camera_poses": camera_poses_to_serializable(Rs, ts),
+        })
+
+    def handle_locate_objects(self, data):
+        # computer_code/api/index.py:279-288
+        self.is_locating_objects = data["startOrStop"] == "start"
+
+    def handle_determine_scale(self, data):
+        # computer_code/api/index.py:290-309
+        import jax.numpy as jnp
+        from low_cost_mocap_tpu.ops import world
+
+        object_points = [p for p in data["objectPoints"] if len(p) == 2]
+        pairs = jnp.asarray(np.asarray(object_points, np.float32))
+        Rs, ts = serializable_to_camera_poses(data["cameraPoses"])
+        _, ts2 = world.determine_scale(pairs, jnp.asarray(ts),
+                                       wand_length=self.rig.wand_length)
+        self.set_camera_poses(Rs, np.asarray(ts2))
+        self.emit("camera-pose", {
+            "error": None,
+            "camera_poses": camera_poses_to_serializable(Rs, np.asarray(ts2)),
+        })
+
+    def handle_triangulate_points(self, data):
+        # computer_code/api/index.py:312-323
+        if data["startOrStop"] == "start":
+            Rs, ts = serializable_to_camera_poses(data["cameraPoses"])
+            self.set_camera_poses(Rs, ts)
+            if data.get("toWorldCoordsMatrix") is not None:
+                self.set_to_world_matrix(
+                    np.asarray(data["toWorldCoordsMatrix"], np.float32))
+            self._kalman_state = kalman_ops.init_state(self.rig.num_objects)
+            self.is_capturing_points = True
+            self.is_triangulating_points = True
+        else:
+            self.is_capturing_points = False
+            self.is_triangulating_points = False
+
+    def handle_acquire_floor(self, data):
+        # computer_code/api/index.py:158-194 (corrected fit, ops/world.py)
+        import jax.numpy as jnp
+        from low_cost_mocap_tpu.ops import world
+
+        pts = np.asarray(
+            [p for sub in data["objectPoints"] for p in sub], np.float32)
+        M = world.fit_floor(jnp.asarray(pts), jnp.asarray(self.to_world_matrix))
+        self.set_to_world_matrix(np.asarray(M))
+        self.emit("to-world-coords-matrix",
+                  {"to_world_coords_matrix": np.asarray(M).tolist()})
+
+    def handle_set_origin(self, data):
+        # computer_code/api/index.py:197-210
+        import jax.numpy as jnp
+        from low_cost_mocap_tpu.ops import world
+
+        M = world.set_origin(
+            jnp.asarray(np.asarray(data["objectPoint"], np.float32)),
+            jnp.asarray(np.asarray(data["toWorldCoordsMatrix"], np.float32)))
+        self.set_to_world_matrix(np.asarray(M))
+        self.emit("to-world-coords-matrix",
+                  {"to_world_coords_matrix": np.asarray(M).tolist()})
+
+    def handle_arm_drone(self, data):
+        # computer_code/api/index.py:114-128
+        self.drone_armed = list(data["droneArmed"])
+        for i in range(self.rig.num_objects):
+            self.link.send(i, {"armed": bool(self.drone_armed[i])})
+
+    def handle_set_drone_pid(self, data):
+        # computer_code/api/index.py:130-137
+        self.link.send(int(data["droneIndex"]),
+                       {"pid": [float(x) for x in data["dronePID"]]})
+
+    def handle_set_drone_setpoint(self, data):
+        # computer_code/api/index.py:139-146
+        self.link.send(int(data["droneIndex"]),
+                       {"setpoint": [float(x) for x in data["droneSetpoint"]]})
+
+    def handle_set_drone_trim(self, data):
+        # computer_code/api/index.py:148-155
+        self.link.send(int(data["droneIndex"]),
+                       {"trim": [int(x) for x in data["droneTrim"]]})
+
+    # ------------------------------------------------------------- state
+
+    def set_camera_poses(self, Rs: np.ndarray, ts: np.ndarray) -> None:
+        import jax.numpy as jnp
+        from low_cost_mocap_tpu.ops import camera as cam_ops
+
+        self.camera_poses = (Rs, ts)
+        self._Ps = cam_ops.projection_matrix(
+            self._K, jnp.asarray(Rs), jnp.asarray(ts))
+
+    def set_to_world_matrix(self, M: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        self.to_world_matrix = M.astype(np.float32)
+        self._M = jnp.asarray(self.to_world_matrix)
+
+    # -------------------------------------------------------------- loop
+
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _loop(self) -> None:
+        interval = 1.0 / self.cfg.target_fps
+        last = time.monotonic()
+        while self._running:
+            now = time.monotonic()
+            if now - last < interval:
+                time.sleep(last + interval - now)
+            dt = max(time.monotonic() - last, 1e-4)
+            last = time.monotonic()
+            self.process_frame(self.source.read(), dt)
+            self.frame_count += 1
+            self.fps = 0.9 * self.fps + 0.1 * (1.0 / dt)
+            if self.frame_count % 10 == 0:
+                self.emit("fps", {"fps": round(self.fps)})
+
+    def process_frame(self, frames: np.ndarray, dt: float):
+        """One frame through the compiled step + reference-shaped emits."""
+        import jax.numpy as jnp
+
+        with self._frame_lock:
+            self._last_frames = frames
+
+        if not self.is_capturing_points:
+            return None
+
+        self._kalman_state, out = self._step(
+            self._kalman_state, jnp.asarray(frames), jnp.asarray(dt),
+            self._Ps, self._K, self._dist, self._M)
+
+        if self.is_capturing_points and not self.is_triangulating_points:
+            # first blob per camera, [None, None] when absent
+            # (computer_code/api/helpers.py:91-92 emits [x[0] for x in ...])
+            blobs = np.asarray(out.blob_px)
+            valid = np.asarray(out.blob_valid)
+            image_points = [
+                blobs[c, 0].tolist() if valid[c, 0] else [None, None]
+                for c in range(self.rig.num_cameras)
+            ]
+            if any(v[0] is not None for v in image_points):
+                self.captured_points.append(image_points)
+                self.emit("image-points", image_points)
+        elif self.is_triangulating_points:
+            pv = np.asarray(out.point_valid)
+            obj_pts = np.asarray(out.object_points)[pv]
+            errs = np.asarray(out.point_errors)[pv]
+            objects = []
+            filtered = []
+            if self.is_locating_objects:
+                ov = np.asarray(out.objects.valid)
+                for i in np.where(ov)[0]:
+                    objects.append({
+                        "pos": np.asarray(out.objects.pos)[i].tolist(),
+                        "heading": float(np.asarray(out.objects.heading)[i]),
+                        "error": float(np.asarray(out.objects.error)[i]),
+                        "droneIndex": int(np.asarray(out.objects.index)[i]),
+                    })
+                tv = np.asarray(out.tracked.valid)
+                for d in np.where(tv)[0]:
+                    pos = np.asarray(out.tracked.pos)[d]
+                    vel = np.asarray(out.tracked.vel)[d]
+                    heading = float(np.asarray(out.tracked.heading)[d])
+                    filtered.append({
+                        "pos": pos.tolist(),
+                        "vel": vel.tolist(),
+                        "heading": heading,
+                        "droneIndex": int(d),
+                    })
+                    if self.drone_armed[d]:
+                        # pose+vel feed (computer_code/api/helpers.py:113-122)
+                        self.link.send(int(d), {
+                            "pos": [round(float(x), 4) for x in pos]
+                                   + [round(heading, 4)],
+                            "vel": [round(float(x), 4) for x in vel],
+                        })
+            self.emit("object-points", {
+                "object_points": obj_pts.tolist(),
+                "errors": errs.tolist(),
+                "objects": objects,
+                "filtered_objects": filtered,
+            })
+        with self._frame_lock:
+            self._last_out = out
+        return out
+
+    # ------------------------------------------------------------ frames
+
+    def latest_frame_strip(self) -> np.ndarray | None:
+        """(H, C*W) uint8 montage for the MJPEG display path
+        (``computer_code/api/helpers.py:137-141``)."""
+        with self._frame_lock:
+            if self._last_frames is None:
+                return None
+            return np.hstack(list(self._last_frames))
+
+
+def camera_poses_to_serializable(Rs: np.ndarray, ts: np.ndarray):
+    """Reference wire shape (``computer_code/api/helpers.py:526-530``)."""
+    return [{"R": R.tolist(), "t": np.asarray(t).reshape(-1).tolist()}
+            for R, t in zip(np.asarray(Rs), np.asarray(ts))]
+
+
+def serializable_to_camera_poses(poses):
+    Rs = np.asarray([p["R"] for p in poses], np.float32)
+    ts = np.asarray([np.asarray(p["t"], np.float32).reshape(-1)
+                     for p in poses], np.float32)
+    return Rs, ts

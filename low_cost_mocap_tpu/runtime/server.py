@@ -1,0 +1,262 @@
+"""HTTP + Socket.IO-compatible API server (stdlib only).
+
+Reproduces the reference's L4 surface (``computer_code/api/index.py``):
+
+  - Socket.IO events over WebSocket (13 client events, 5 server events —
+    SURVEY.md §2.3), speaking enough Engine.IO v4 / Socket.IO v5 for the
+    reference's React client in websocket-only mode;
+  - ``GET /api/camera-stream`` — multipart MJPEG montage
+    (``computer_code/api/index.py:31-61``);
+  - ``POST /api/trajectory-planning`` — jerk-limited route planning
+    (``computer_code/api/index.py:63-84``).
+
+No flask / flask-socketio dependency: the environment doesn't ship them,
+and the protocol subset needed is small (see ``runtime/wsproto.py``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import threading
+import uuid
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from low_cost_mocap_tpu.runtime import wsproto
+from low_cost_mocap_tpu.runtime.engine import Engine
+
+
+def _encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (stdlib zlib) for the camera stream; used when
+    OpenCV's JPEG encoder isn't available.  img: (H, W) uint8."""
+    h, w = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + tag + data
+                + zlib.crc32(tag + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0]))  # 8-bit grayscale
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def encode_frame_image(img: np.ndarray) -> tuple[bytes, str]:
+    """(bytes, mime). JPEG via cv2 when present (display-only dependency),
+    else stdlib PNG."""
+    try:
+        import cv2
+
+        ok, buf = cv2.imencode(".jpg", img)
+        if ok:
+            return buf.tobytes(), "image/jpeg"
+    except ImportError:
+        pass
+    return _encode_png_gray(img), "image/png"
+
+
+class _Client:
+    def __init__(self, handler: "_Handler"):
+        self.handler = handler
+        self.lock = threading.Lock()
+
+    def send_text(self, text: str) -> bool:
+        try:
+            with self.lock:
+                self.handler.wfile.write(
+                    wsproto.encode_frame(text.encode(), opcode=0x1))
+                self.handler.wfile.flush()
+            return True
+        except OSError:
+            return False
+
+
+class MocapServer:
+    """Binds an Engine to the network surface."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1",
+                 port: int = 3001):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._clients: set[_Client] = set()
+        self._clients_lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+        # engine -> all socket.io clients
+        for ev in ("image-points", "object-points", "camera-pose",
+                   "to-world-coords-matrix", "fps"):
+            engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
+
+    # -------------------------------------------------------------- wiring
+
+    def broadcast(self, event: str, data) -> None:
+        packet = wsproto.sio_event(event, data)
+        dead = []
+        with self._clients_lock:
+            clients = list(self._clients)
+        for c in clients:
+            if not c.send_text(packet):
+                dead.append(c)
+        if dead:
+            with self._clients_lock:
+                for c in dead:
+                    self._clients.discard(c)
+
+    def _add_client(self, c: _Client) -> None:
+        with self._clients_lock:
+            self._clients.add(c)
+
+    def _remove_client(self, c: _Client) -> None:
+        with self._clients_lock:
+            self._clients.discard(c)
+
+    # -------------------------------------------------------------- server
+
+    def start(self) -> None:
+        server = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/socket.io/"):
+                    server._serve_socketio(self)
+                elif self.path.startswith("/api/camera-stream"):
+                    server._serve_mjpeg(self)
+                else:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+
+            def do_POST(self):
+                if self.path.startswith("/api/trajectory-planning"):
+                    server._serve_trajectory(self)
+                else:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), _Handler)
+        self._httpd.daemon_threads = True
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # ----------------------------------------------------------- endpoints
+
+    def _serve_socketio(self, handler: BaseHTTPRequestHandler) -> None:
+        key = handler.headers.get("Sec-WebSocket-Key")
+        if (handler.headers.get("Upgrade", "").lower() != "websocket"
+                or key is None):
+            handler.send_response(400)
+            handler.send_header("Content-Length", "0")
+            handler.end_headers()
+            return
+        handler.send_response(101, "Switching Protocols")
+        handler.send_header("Upgrade", "websocket")
+        handler.send_header("Connection", "Upgrade")
+        handler.send_header("Sec-WebSocket-Accept", wsproto.accept_key(key))
+        handler.end_headers()
+        handler.close_connection = True
+
+        client = _Client(handler)
+        sid = uuid.uuid4().hex[:16]
+        client.send_text(wsproto.eio_open(sid))
+
+        parser = wsproto.FrameParser()
+        handler.connection.settimeout(30.0)
+        try:
+            while True:
+                try:
+                    data = handler.connection.recv(65536)
+                except socket.timeout:
+                    client.send_text("2")  # engine.io ping keeps idle alive
+                    continue
+                if not data:
+                    break
+                for opcode, payload in parser.feed(data):
+                    if opcode == 0x8:  # close
+                        return
+                    if opcode == 0x9:  # ws ping -> pong
+                        with client.lock:
+                            handler.wfile.write(
+                                wsproto.encode_frame(payload, opcode=0xA))
+                        continue
+                    if opcode != 0x1:
+                        continue
+                    text = payload.decode()
+                    if text == "2":           # engine.io ping (client side)
+                        client.send_text("3")
+                    elif text == "3":         # pong
+                        continue
+                    elif text == "40" or text.startswith("40{"):
+                        client.send_text(wsproto.sio_connect_ack(sid))
+                        self._add_client(client)
+                    else:
+                        evt = wsproto.parse_sio_event(text)
+                        if evt is not None:
+                            name, args = evt
+                            try:
+                                self.engine.handle(
+                                    name, args[0] if args else None)
+                            except Exception as e:  # surface, don't die
+                                client.send_text(wsproto.sio_event(
+                                    "server-error",
+                                    {"event": name, "error": str(e)}))
+        finally:
+            self._remove_client(client)
+
+    def _serve_mjpeg(self, handler: BaseHTTPRequestHandler) -> None:
+        handler.send_response(200)
+        handler.send_header(
+            "Content-Type", "multipart/x-mixed-replace; boundary=frame")
+        handler.end_headers()
+        import time as _time
+
+        interval = 1.0 / min(self.engine.cfg.target_fps, 30.0)  # display rate
+        try:
+            while True:
+                strip = self.engine.latest_frame_strip()
+                if strip is not None:
+                    img, mime = encode_frame_image(strip)
+                    handler.wfile.write(
+                        b"--frame\r\nContent-Type: " + mime.encode()
+                        + b"\r\n\r\n" + img + b"\r\n")
+                    handler.wfile.flush()
+                _time.sleep(interval)
+        except OSError:
+            return
+
+    def _serve_trajectory(self, handler: BaseHTTPRequestHandler) -> None:
+        from low_cost_mocap_tpu.models.trajectory import plan_waypoint_route
+
+        length = int(handler.headers.get("Content-Length", 0))
+        data = json.loads(handler.rfile.read(length))
+        setpoints = plan_waypoint_route(
+            data["waypoints"], data["maxVel"], data["maxAccel"],
+            data["maxJerk"], data["timestep"],
+            num_objects=self.engine.rig.num_objects)
+        body = json.dumps({"setpoints": setpoints}).encode()
+        handler.send_response(200)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Access-Control-Allow-Origin", "*")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)

@@ -1,0 +1,158 @@
+"""Engine orchestration: mode flags, event surface, serial out."""
+
+import numpy as np
+import pytest
+
+from low_cost_mocap_tpu.config import EngineConfig, RigConfig
+from low_cost_mocap_tpu.runtime.engine import (
+    Engine, camera_poses_to_serializable)
+from low_cost_mocap_tpu.runtime.serial_link import CollectingLink
+from low_cost_mocap_tpu.runtime.sources import SyntheticSource
+from low_cost_mocap_tpu.utils import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def scene():
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    cfg = EngineConfig(ransac_iters=128, ba_max_iters=16)
+    return Rs, ts, rig, cfg
+
+
+@pytest.fixture()
+def engine(scene):
+    Rs, ts, rig, cfg = scene
+    source = SyntheticSource(rig, Rs, ts, num_drones=1)
+    link = CollectingLink()
+    eng = Engine(rig, cfg, source, link)
+    return eng, source, link, Rs, ts
+
+
+def test_capture_mode_emits_image_points(engine):
+    eng, source, link, Rs, ts = engine
+    events = []
+    eng.on("image-points", events.append)
+    eng.handle("capture-points", {"startOrStop": "start"})
+    assert eng.is_capturing_points
+    for _ in range(3):
+        eng.process_frame(source.read(), 1 / 60)
+    assert len(events) == 3
+    assert len(events[0]) == 4  # one [x, y] (or [None, None]) per camera
+    assert len(eng.captured_points) == 3
+    eng.handle("capture-points", {"startOrStop": "stop"})
+    assert not eng.is_capturing_points
+
+
+def test_idle_mode_processes_nothing(engine):
+    eng, source, *_ = engine
+    out = eng.process_frame(source.read(), 1 / 60)
+    assert out is None
+    assert eng.latest_frame_strip() is not None  # display still fed
+
+
+def test_triangulate_and_locate_with_serial_out(engine):
+    eng, source, link, Rs, ts = engine
+    events = []
+    eng.on("object-points", events.append)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist(),
+    })
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    # arming sent per-drone armed frames over the wire
+    assert link.frames[0].startswith(b"0{")
+    n_before = len(link.frames)
+    for _ in range(5):
+        eng.process_frame(source.read(), 1 / 60)
+    assert len(events) == 5
+    last = events[-1]
+    # >= 3: the drone's LEDs, possibly plus ghost duplicates from unclaimed
+    # roots (the reference's matcher has the same property,
+    # computer_code/api/helpers.py:377-380 comment)
+    assert 3 <= len(last["object_points"]) <= 8
+    assert len(last["objects"]) == 1
+    assert len(last["filtered_objects"]) == 1
+    # pose+vel serial feed for the tracked armed drone, stable identity
+    pose_frames = [f for f in link.frames[n_before:] if b'"pos"' in f]
+    assert len(pose_frames) == 5
+    assert len({f[0:1] for f in pose_frames}) == 1  # index doesn't flap
+
+
+def test_unknown_event_raises(engine):
+    eng, *_ = engine
+    with pytest.raises(KeyError):
+        eng.handle("no-such-event", {})
+
+
+def test_set_drone_commands_forward_to_link(engine):
+    eng, source, link, *_ = engine
+    eng.handle("set-drone-pid", {"droneIndex": 1, "dronePID": list(range(17))})
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": [0.1, 0.2, 0.3]})
+    eng.handle("set-drone-trim", {"droneTrim": [1, 2, 3, 4], "droneIndex": 1})
+    assert any(b'"pid"' in f and f.startswith(b"1") for f in link.frames)
+    assert any(b'"setpoint"' in f and f.startswith(b"0") for f in link.frames)
+    assert any(b'"trim"' in f and f.startswith(b"1") for f in link.frames)
+
+
+def test_calibration_through_event_surface(scene):
+    """Full operator workflow: capture wand points -> calculate-camera-pose."""
+    Rs, ts, rig, cfg = scene
+    rng = np.random.default_rng(0)
+    # synthesize captured wand sweeps (one dot per camera per frame)
+    X = syn.random_points(rng, 60)
+    pts, mask = syn.observe(X, Rs, ts, rig, noise_px=0.3, rng=rng)
+    captured = []
+    for n in range(len(X)):
+        captured.append([
+            pts[n, c].tolist() if mask[n, c] else [None, None]
+            for c in range(rig.num_cameras)
+        ])
+
+    source = SyntheticSource(rig, Rs, ts, num_drones=0)
+    eng = Engine(rig, cfg, source, CollectingLink())
+    got = []
+    eng.on("camera-pose", got.append)
+    eng.handle("calculate-camera-pose", {"cameraPoints": captured})
+    assert len(got) == 1
+    assert got[0]["error"] < 1.0
+    assert len(got[0]["camera_poses"]) == 4
+    assert eng.camera_poses is not None
+
+
+def test_world_events(engine):
+    eng, source, *_ = engine
+    got = []
+    eng.on("to-world-coords-matrix", got.append)
+    # floor: tilted cloud in current world frame
+    rng = np.random.default_rng(1)
+    xy = rng.normal(size=(40, 2)).astype(np.float32)
+    cloud = np.column_stack([xy[:, 0], 0.1 * xy[:, 0] + 0.3, xy[:, 1]])
+    eng.handle("acquire-floor", {"objectPoints": [cloud.tolist()]})
+    assert len(got) == 1
+    # origin
+    eng.handle("set-origin", {
+        "objectPoint": [0.1, 0.2, 0.3],
+        "toWorldCoordsMatrix": eng.to_world_matrix.tolist(),
+    })
+    assert len(got) == 2
+    M = np.asarray(got[1]["to_world_coords_matrix"])
+    assert M.shape == (4, 4)
+
+
+def test_artifacts_roundtrip(tmp_path, scene):
+    from low_cost_mocap_tpu.utils.artifacts import (
+        Calibration, load_calibration, save_calibration)
+
+    Rs, ts, rig, cfg = scene
+    calib = Calibration(Rs=Rs, ts=ts, focals=None,
+                        to_world_matrix=np.eye(4, dtype=np.float32),
+                        mean_reprojection_error=0.12, scale_applied=True)
+    p = str(tmp_path / "calib.json")
+    save_calibration(p, calib)
+    back = load_calibration(p)
+    np.testing.assert_allclose(back.Rs, Rs, atol=1e-6)
+    np.testing.assert_allclose(back.ts, ts, atol=1e-6)
+    assert back.scale_applied
+    assert abs(back.mean_reprojection_error - 0.12) < 1e-9
