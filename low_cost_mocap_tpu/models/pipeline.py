@@ -102,17 +102,28 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                threshold: float, max_blobs: int, cc_iters: int,
                gate_px: float, max_candidates: int,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
-               do_preprocess: bool, stage: str):
-    """Pure per-frame step (see module docstring). Fully static shapes."""
-    # cameras deliver uint8; normalise on device (uint8 host->device transfer
-    # is ~30x cheaper than float32 through the ingest link)
-    if jnp.issubdtype(frames.dtype, jnp.integer):
-        frames = frames.astype(jnp.float32) * (1.0 / 255.0)
-    if do_preprocess:
-        frames = detect.preprocess(frames)
+               do_preprocess: bool, stage: str, packed_input: bool = False):
+    """Pure per-frame step (see module docstring). Fully static shapes.
+
+    ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
+    (host/camera-side threshold, 1 bit/pixel — the production ingest path;
+    see ``ops.detect.unpack_bits``); otherwise (C, H, W) uint8/float frames
+    thresholded on device.
+    """
+    if packed_input:
+        frames = detect.unpack_bits(frames)
+        eff_threshold = 0.5
+    else:
+        # cameras deliver uint8; normalise on device (uint8 host->device
+        # transfer is far cheaper than float32 through the ingest link)
+        if jnp.issubdtype(frames.dtype, jnp.integer):
+            frames = frames.astype(jnp.float32) * (1.0 / 255.0)
+        if do_preprocess:
+            frames = detect.preprocess(frames)
+        eff_threshold = threshold
 
     blobs, blob_valid, _ = detect.find_blobs_multi(
-        frames, threshold, max_blobs, cc_iters=cc_iters)
+        frames, eff_threshold, max_blobs, cc_iters=cc_iters)
 
     # undistort centroids analytically (replaces the reference's full-frame
     # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)

@@ -46,6 +46,50 @@ def _dlt_system(points_px, Ps, mask):
     return jnp.einsum("...ki,...kj->...ij", A, A)
 
 
+def _adjugate4(A):
+    """Closed-form adjugate of (..., 4, 4) — pure elementwise VPU ops."""
+    a = [[A[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+                - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+                + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0]))
+
+    rows = [0, 1, 2, 3]
+    cof = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = [r for r in rows if r != i]
+        for j in range(4):
+            cj = [c for c in rows if c != j]
+            m = det3(ri[0], ri[1], ri[2], cj[0], cj[1], cj[2])
+            cof[i][j] = m if (i + j) % 2 == 0 else -m
+    # adj = cofactor^T
+    return jnp.stack(
+        [jnp.stack([cof[i][j] for i in range(4)], axis=-1) for j in range(4)],
+        axis=-2)
+
+
+def smallest_eigvec_sym4(B, iters: int = 3):
+    """Unit eigenvector of the smallest eigenvalue of PSD (..., 4, 4).
+
+    Inverse iteration with the closed-form adjugate: v <- adj(B + mu I) v
+    amplifies the smallest eigencomponent by ~prod(other eigenvalues); two
+    or three iterations reach float32 accuracy for DLT-conditioned systems.
+    ~100x cheaper than batched ``eigh`` on TPU (no QR iterations — straight
+    VPU arithmetic) and it vmaps/fuses freely.
+    """
+    tr = B[..., 0, 0] + B[..., 1, 1] + B[..., 2, 2] + B[..., 3, 3]
+    mu = (1e-6 * tr + 1e-30)[..., None, None]
+    A = B + mu * jnp.eye(4, dtype=B.dtype)
+    adj = _adjugate4(A)
+    v = jnp.ones(B.shape[:-2] + (4,), B.dtype)
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", adj, v)
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = v / jnp.maximum(n, 1e-30)
+    return v
+
+
 def triangulate_points(points_px, Ps, mask):
     """Triangulate a batch of points from multi-camera observations.
 
@@ -55,8 +99,7 @@ def triangulate_points(points_px, Ps, mask):
     (``computer_code/api/helpers.py:300-301``).
     """
     B = _dlt_system(points_px, Ps[None], mask)          # (N, 4, 4)
-    _, vecs = jnp.linalg.eigh(B)                        # ascending eigenvalues
-    h = vecs[..., :, 0]                                 # (N, 4) smallest
+    h = smallest_eigvec_sym4(B)                         # (N, 4)
     w = h[..., 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
     X = h[..., :3] / w_safe[..., None]

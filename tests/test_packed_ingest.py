@@ -1,0 +1,61 @@
+"""Bit-packed binary ingest: parity with the full-frame path."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from low_cost_mocap_tpu.config import EngineConfig
+from low_cost_mocap_tpu.models.pipeline import frame_step
+from low_cost_mocap_tpu.ops import detect, kalman
+from low_cost_mocap_tpu.ops import camera as cam_ops
+from low_cost_mocap_tpu.utils import synthetic as syn
+
+
+def test_unpack_bits_roundtrip():
+    rng = np.random.default_rng(0)
+    frames = (rng.random((3, 64, 64)) > 0.8).astype(np.uint8)
+    packed = np.packbits(frames.astype(bool), axis=-1)
+    un = np.asarray(detect.unpack_bits(jnp.asarray(packed)))
+    np.testing.assert_array_equal(un, frames.astype(np.float32))
+
+
+def test_packed_pipeline_matches_full_frame():
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    e = EngineConfig()
+    rng = np.random.default_rng(1)
+    X = syn.random_points(rng, 6)
+    pts, mask = syn.observe(X, Rs, ts, rig)
+    frames = (syn.render_frames(pts, mask, rig.image_size, sigma=0.8)
+              * 255).astype(np.uint8)
+
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    M = jnp.eye(4)
+    kw = dict(threshold=e.detect_threshold, max_blobs=e.max_blobs,
+              cc_iters=e.cc_iters, gate_px=e.epipolar_gate_px,
+              max_candidates=e.max_candidates_per_cam,
+              marker_dist1=rig.marker_dist_short,
+              marker_dist2=rig.marker_dist_long,
+              marker_tol=rig.marker_dist_tol,
+              do_preprocess=False, stage="locate")
+
+    st_full = kalman.init_state(rig.num_objects)
+    _, out_full = frame_step(st_full, jnp.asarray(frames), 1 / 60, Ps, K,
+                             dist, M, **kw)
+
+    packed = detect.pack_frames(frames, e.detect_threshold)
+    st_p = kalman.init_state(rig.num_objects)
+    _, out_p = frame_step(st_p, jnp.asarray(packed), 1 / 60, Ps, K, dist, M,
+                          packed_input=True, **kw)
+
+    # identical blob sets (host threshold == device threshold on these
+    # noise-free frames) -> identical reconstructions
+    np.testing.assert_array_equal(np.asarray(out_full.blob_valid),
+                                  np.asarray(out_p.blob_valid))
+    np.testing.assert_allclose(np.asarray(out_full.blob_px),
+                               np.asarray(out_p.blob_px), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_full.object_points),
+                               np.asarray(out_p.object_points), atol=1e-4)
