@@ -65,6 +65,7 @@ class RigConfig:
     marker_dist_short: float = 0.095   # LED#3 to each arm LED
     marker_dist_long: float = 0.15     # arm LED to arm LED
     marker_dist_tol: float = 0.025     # gate, computer_code/api/helpers.py:441,448
+    marker_side_min: float = 0.02      # third-LED off-axis floor (see ops/rigid.py)
     wand_length: float = 0.15          # scale wand, computer_code/api/index.py:294
     num_objects: int = 2               # tracked drones, computer_code/api/index.py:29
 

@@ -82,6 +82,7 @@ class MocapPipeline:
                 marker_dist1=rig.marker_dist_short,
                 marker_dist2=rig.marker_dist_long,
                 marker_tol=rig.marker_dist_tol,
+                marker_side_min=rig.marker_side_min,
                 do_preprocess=preprocess_frames,
                 stage="locate",
             ),
@@ -102,6 +103,7 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                threshold: float, max_blobs: int, cc_iters: int,
                gate_px: float, max_candidates: int,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
+               marker_side_min: float,
                do_preprocess: bool, stage: str, packed_input: bool = False):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
@@ -142,6 +144,7 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
     located = rigid.locate_objects(obj_pts_world, match["errors"],
                                    match["valid"], dist1=marker_dist1,
                                    dist2=marker_dist2, tol=marker_tol,
+                                   side_min=marker_side_min,
                                    ax_h1=0, ax_h2=2)
     new_state, tracked = kalman.update(
         state, located.pos, located.heading, located.index, located.valid, dt)

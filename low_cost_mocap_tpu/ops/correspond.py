@@ -109,13 +109,20 @@ def _combo_table(num_later: int, n_opt: int, h_max: int) -> np.ndarray:
     return out
 
 
-def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2):
+def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
+                 dedupe_eps: float = 0.02):
     """Full-frame correspondence + triangulation.
 
     pts: (C, K, 2) detected blob centroids; valid: (C, K); Ps: (C, 3, 4).
     Returns dict with ``object_points`` (C*K, 3), ``errors`` (C*K,),
     ``valid`` (C*K,) — one output slot per potential root, matching the
     reference's per-root winner selection (``helpers.py:408-419``).
+
+    Improvement over the reference (documented): when two roots reconstruct
+    near-coincident 3D points (ghost duplicates from unclaimed detections —
+    the "garbage points" the reference's own comment acknowledges,
+    ``helpers.py:377-380``), only the lower-reprojection-error one survives.
+    ``dedupe_eps`` (metres) bounds "coincident"; set 0 to disable.
     """
     C, K, _ = pts.shape
     n_opt = max_candidates + 1                 # ranks + "missing"
@@ -165,6 +172,20 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2):
     object_points = jnp.concatenate(out_pts)            # (C*K, 3)
     errors = jnp.concatenate(out_err)
     ok = jnp.concatenate(out_ok)
-    object_points = jnp.where(ok[:, None], object_points, 0.0)
     errors = jnp.where(ok, errors, _INF)
+
+    if dedupe_eps > 0:
+        # drop a point when a strictly better (or equal-error, lower-index)
+        # valid point lies within dedupe_eps
+        diff = object_points[:, None, :] - object_points[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        n = errors.shape[0]
+        i_idx = jnp.arange(n)
+        better = (errors[None, :] < errors[:, None]) | (
+            (errors[None, :] == errors[:, None]) & (i_idx[None, :] < i_idx[:, None]))
+        clash = (d2 < dedupe_eps**2) & ok[None, :] & better
+        ok = ok & ~jnp.any(clash, axis=1)
+        errors = jnp.where(ok, errors, _INF)
+
+    object_points = jnp.where(ok[:, None], object_points, 0.0)
     return {"object_points": object_points, "errors": errors, "valid": ok}

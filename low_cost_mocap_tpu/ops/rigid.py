@@ -41,7 +41,7 @@ class LocatedObjects(NamedTuple):
 def locate_objects(points, errors, valid,
                    dist1: float = 0.095, dist2: float = 0.15,
                    tol: float = 0.025, ax_h1: int = 0,
-                   ax_h2: int = 1) -> LocatedObjects:
+                   ax_h2: int = 1, side_min: float = 0.0) -> LocatedObjects:
     """Find drone marker triples among triangulated points.
 
     points: (N, 3); errors: (N,); valid: (N,) — the correspondence output.
@@ -55,6 +55,15 @@ def locate_objects(points, errors, valid,
     puts height there), which would make heading a pitch angle and the
     drone-index side test pure noise for a flat marker layout — so the
     pipeline passes the horizontal pair (0, 2).
+
+    ``side_min`` (improvement over the reference, documented): reject a
+    triple whose "third LED" sits within ``side_min`` of the arm axis along
+    ``ax_h2``.  When two arm LEDs optically merge in one view, their merged
+    centroid passes the distance gates as a phantom third LED ON the axis,
+    and the reference's bare sign test then assigns a coin-flip identity;
+    a genuine third LED sits sqrt(dist1² - (dist2/2)²) ≈ 58 mm off-axis, so
+    a small floor (the pipeline uses 20 mm) kills the flap without touching
+    real fits (identity is inherently ambiguous near |yaw| = 90° either way).
     """
     N = points.shape[0]
     diff = points[:, None, :] - points[None, :, :]
@@ -88,7 +97,9 @@ def locate_objects(points, errors, valid,
         heading = jnp.where(heading > jnp.pi / 2, heading - jnp.pi, heading)
         heading = jnp.where(heading < -jnp.pi / 2, heading + jnp.pi, heading)
         err = (errors[i] + errors[j] + errors[k]) / 3.0
-        drone_idx = jnp.where((points[i] - loc)[ax_h2] > 0, 0, 1)
+        side = (points[i] - loc)[ax_h2]
+        drone_idx = jnp.where(side > 0, 0, 1)
+        hit = hit & (jnp.abs(side) >= side_min)
 
         consumed = consumed.at[i].set(consumed[i] | hit)
         consumed = consumed.at[j].set(consumed[j] | hit)

@@ -68,6 +68,7 @@ class Engine:
             marker_dist1=rig.marker_dist_short,
             marker_dist2=rig.marker_dist_long,
             marker_tol=rig.marker_dist_tol,
+            marker_side_min=rig.marker_side_min,
             do_preprocess=preprocess_frames,
             stage="locate",
         ), donate_argnums=(0,))

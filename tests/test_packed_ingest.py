@@ -40,6 +40,7 @@ def test_packed_pipeline_matches_full_frame():
               marker_dist1=rig.marker_dist_short,
               marker_dist2=rig.marker_dist_long,
               marker_tol=rig.marker_dist_tol,
+              marker_side_min=rig.marker_side_min,
               do_preprocess=False, stage="locate")
 
     st_full = kalman.init_state(rig.num_objects)

@@ -74,7 +74,9 @@ def test_pipeline_tracks_motion():
         state, out = pipe.step(state, jnp.asarray(frames), 1.0 / 60.0)
         centre_world = np.asarray(world_ops.to_world(
             jnp.asarray((markers[0] + markers[1]) / 2), jnp.eye(4)))
-        if t > 15 and bool(np.asarray(out.tracked.valid)[0]):
-            errs.append(np.linalg.norm(np.asarray(out.tracked.pos)[0] - centre_world))
+        tv = np.asarray(out.tracked.valid)
+        if t > 15 and tv.any():
+            d = int(np.argmax(tv))  # identity slot is geometry-determined
+            errs.append(np.linalg.norm(np.asarray(out.tracked.pos)[d] - centre_world))
     assert len(errs) > 5
     assert np.mean(errs) < 0.05
