@@ -133,6 +133,8 @@ class MocapServer:
                     server._serve_socketio(self)
                 elif self.path.startswith("/api/camera-stream"):
                     server._serve_mjpeg(self)
+                elif self.path in ("/", "/index.html"):
+                    server._serve_console(self)
                 else:
                     self.send_response(404)
                     self.send_header("Content-Length", "0")
@@ -160,6 +162,19 @@ class MocapServer:
             self._httpd = None
 
     # ----------------------------------------------------------- endpoints
+
+    def _serve_console(self, handler: BaseHTTPRequestHandler) -> None:
+        """The operator console (thin client over the same event surface —
+        replaces the reference's React SPA, SURVEY.md §2.3)."""
+        import pathlib
+
+        page = (pathlib.Path(__file__).parent / "webui" / "index.html")
+        body = page.read_bytes()
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/html; charset=utf-8")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
 
     def _serve_socketio(self, handler: BaseHTTPRequestHandler) -> None:
         key = handler.headers.get("Sec-WebSocket-Key")

@@ -1,0 +1,104 @@
+"""App launcher: ``python -m low_cost_mocap_tpu.serve``.
+
+Boots source + engine + API server + operator console — the counterpart of
+running ``python3 api/index.py`` + ``yarn dev`` in the reference
+(``README.md:25-29``), in one process with no external dependencies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="low-cost-mocap-tpu server")
+    p.add_argument("--port", type=int, default=3001)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--source", choices=["synthetic", "recorded", "pseyepy"],
+                   default="synthetic")
+    p.add_argument("--recording", help="path to .npz for --source recorded")
+    p.add_argument("--cameras", type=int, default=4)
+    p.add_argument("--drones", type=int, default=1,
+                   help="synthetic drones rendered by the synthetic source")
+    p.add_argument("--link", choices=["loopback", "serial", "none"],
+                   default="loopback")
+    p.add_argument("--serial-device", default="/dev/ttyUSB0")
+    p.add_argument("--fps", type=float, default=150.0)
+    p.add_argument("--calibration", help="calibration artifact (json) to load")
+    args = p.parse_args(argv)
+
+    from low_cost_mocap_tpu.config import EngineConfig, RigConfig
+    from low_cost_mocap_tpu.runtime.engine import Engine
+    from low_cost_mocap_tpu.runtime.server import MocapServer
+    from low_cost_mocap_tpu.runtime import serial_link, sources
+    from low_cost_mocap_tpu.utils import synthetic as syn
+
+    cfg = EngineConfig(target_fps=args.fps)
+
+    if args.source == "synthetic":
+        Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras)
+        source = sources.SyntheticSource(rig, Rs, ts, num_drones=args.drones)
+    elif args.source == "recorded":
+        if not args.recording:
+            p.error("--recording required with --source recorded")
+        source = sources.RecordedSource(args.recording)
+        rig = RigConfig(num_cameras=source.num_cameras,
+                        image_size=source.image_size)
+        Rs = ts = None
+    else:
+        rig = RigConfig(num_cameras=args.cameras)
+        source = sources.PseyepySource(rig)
+        Rs = ts = None
+
+    if args.link == "loopback":
+        link = serial_link.LoopbackLink(rig.num_objects)
+    elif args.link == "serial":
+        link = serial_link.PyserialLink(args.serial_device)
+    else:
+        link = serial_link.CollectingLink()
+
+    engine = Engine(rig, cfg, source, link)
+    if args.calibration:
+        from low_cost_mocap_tpu.utils.artifacts import load_calibration
+
+        calib = load_calibration(args.calibration)
+        engine.set_camera_poses(calib.Rs, calib.ts)
+        engine.set_to_world_matrix(calib.to_world_matrix)
+    elif args.source == "synthetic":
+        # synthetic rigs know their own ground-truth extrinsics
+        engine.set_camera_poses(Rs, ts)
+
+    server = MocapServer(engine, host=args.host, port=args.port)
+    server.start()
+    engine.start()
+    print(f"console: http://{args.host}:{server.port}/  "
+          f"(source={args.source}, link={args.link})")
+
+    # loopback SIL: run the cascade+simulator at 500 Hz in its own thread
+    stop_flag = []
+    if args.link == "loopback":
+        import threading
+
+        def sil_loop():
+            while not stop_flag:
+                link.tick(0.002)
+                time.sleep(0.002)
+
+        threading.Thread(target=sil_loop, daemon=True).start()
+
+    try:
+        while True:
+            time.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        stop_flag.append(True)
+        engine.stop()
+        server.stop()
+        source.close()
+        link.close()
+
+
+if __name__ == "__main__":
+    main()
