@@ -36,7 +36,9 @@ def main():
     # same trick commercial mocap cameras use (on-camera thresholding).
     from low_cost_mocap_tpu.ops.detect import pack_frames
 
-    step = jax.jit(functools.partial(fn, packed_input=True),
+    use_pallas = jax.default_backend() != "cpu"
+    step = jax.jit(functools.partial(fn, packed_input=True,
+                                     use_pallas=use_pallas),
                    donate_argnums=(0,))
 
     packed0 = pack_frames(frames_np, 0.2)

@@ -104,7 +104,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                gate_px: float, max_candidates: int,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
                marker_side_min: float,
-               do_preprocess: bool, stage: str, packed_input: bool = False):
+               do_preprocess: bool, stage: str, packed_input: bool = False,
+               use_pallas: bool = False):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
@@ -124,8 +125,16 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
             frames = detect.preprocess(frames)
         eff_threshold = threshold
 
-    blobs, blob_valid, _ = detect.find_blobs_multi(
-        frames, eff_threshold, max_blobs, cc_iters=cc_iters)
+    if use_pallas:
+        # fused single-kernel detector (TPU only; bit-identical to the XLA
+        # path, ~2x faster — see ops/detect_pallas.py)
+        from low_cost_mocap_tpu.ops.detect_pallas import find_blobs_pallas
+
+        blobs, blob_valid, _ = find_blobs_pallas(
+            frames, eff_threshold, max_blobs, cc_iters=cc_iters)
+    else:
+        blobs, blob_valid, _ = detect.find_blobs_multi(
+            frames, eff_threshold, max_blobs, cc_iters=cc_iters)
 
     # undistort centroids analytically (replaces the reference's full-frame
     # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)

@@ -49,8 +49,13 @@ def test_idle_mode_processes_nothing(engine):
     assert eng.latest_frame_strip() is not None  # display still fed
 
 
-def test_triangulate_and_locate_with_serial_out(engine):
-    eng, source, link, Rs, ts = engine
+def test_triangulate_and_locate_with_serial_out(scene):
+    # dedicated static-drone source: the shared fixture's orbiting drone
+    # makes hit rate wall-clock dependent (blob merges at some view angles)
+    Rs, ts, rig, cfg = scene
+    source = SyntheticSource(rig, Rs, ts, num_drones=1, orbit_hz=0.0)
+    link = CollectingLink()
+    eng = Engine(rig, cfg, source, link)
     events = []
     eng.on("object-points", events.append)
     eng.handle("triangulate-points", {
