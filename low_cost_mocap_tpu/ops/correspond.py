@@ -110,13 +110,30 @@ def _combo_table(num_later: int, n_opt: int, h_max: int) -> np.ndarray:
 
 
 def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
-                 dedupe_eps: float = 0.02):
+                 dedupe_eps: float = 0.02, mode: str = "auto",
+                 beam_width: int = 0, miss_penalty_px: float = -1.0):
     """Full-frame correspondence + triangulation.
 
     pts: (C, K, 2) detected blob centroids; valid: (C, K); Ps: (C, 3, 4).
     Returns dict with ``object_points`` (C*K, 3), ``errors`` (C*K,),
     ``valid`` (C*K,) — one output slot per potential root, matching the
     reference's per-root winner selection (``helpers.py:408-419``).
+
+    ``mode``: "exact" enumerates every candidate combination (the
+    reference's cartesian expansion, ``helpers.py:394-400`` — exponential in
+    camera count); "beam" grows hypotheses camera-by-camera keeping the
+    ``beam_width`` lowest-reprojection-error partial assemblies (linear in
+    cameras — the large-rig path); "auto" picks exact for <= 5 cameras.
+    Default ``beam_width`` is ``(max_candidates+1)^2`` so the first two
+    expansion levels (where 2-view errors are uninformative) are unpruned.
+
+    Hypothesis selection scores missing views as ``miss_penalty_px``-sized
+    residuals (default: the epipolar gate).  The reference's bare
+    mean-error argmin (``helpers.py:418``) prefers a perfect 2-view fit
+    over an honest all-view fit, which costs accuracy on large rigs; the
+    penalty makes "use a within-gate view" always beat "drop it".  Reported
+    ``errors`` remain the raw mean of the winner (the UI contract).  Set 0
+    to restore the reference's selection rule exactly.
 
     Improvement over the reference (documented): when two roots reconstruct
     near-coincident 3D points (ghost duplicates from unclaimed detections —
@@ -126,7 +143,21 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     """
     C, K, _ = pts.shape
     n_opt = max_candidates + 1                 # ranks + "missing"
-    h_max = n_opt ** (C - 1)
+    if mode == "auto":
+        mode = "exact" if C <= 5 else "beam"
+    if beam_width <= 0:
+        beam_width = n_opt * n_opt
+    if miss_penalty_px < 0:
+        miss_penalty_px = gate_px
+    tau2 = miss_penalty_px * miss_penalty_px
+
+    def selection_score(err, msk, rc):
+        """err = raw mean sq px error; penalise later-camera misses."""
+        n_vis = jnp.sum(msk, axis=-1).astype(err.dtype)
+        n_later = float(C - rc - 1)
+        n_miss = jnp.maximum(n_later - (n_vis - 1.0), 0.0)
+        return (err * n_vis + n_miss * tau2) / jnp.maximum(
+            n_vis + n_miss, 1.0)
 
     d, gated = _epipolar_distances(pts, valid, Ps, gate_px)
     root_mask = _compute_roots(d, gated, valid)
@@ -139,30 +170,77 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     out_pts, out_err, out_ok = [], [], []
     for rc in range(C):
         later = list(range(rc + 1, C))
-        combos = jnp.asarray(_combo_table(len(later), n_opt, h_max))  # (H, L)
 
-        def per_root(k, combos=combos, later=later, rc=rc):
-            # selected observation per hypothesis per camera
-            sel = jnp.zeros((h_max, C, 2), pts.dtype)
-            msk = jnp.zeros((h_max, C), bool)
-            ok = jnp.ones((h_max,), bool)
-            # own camera: always the root point itself
-            sel = sel.at[:, rc].set(pts[rc, k])
-            msk = msk.at[:, rc].set(True)
-            for li, b in enumerate(later):
-                choice = combos[:, li]                       # (H,)
-                is_miss = choice == n_opt - 1
-                rank = jnp.minimum(choice, max_candidates - 1)
-                j = cand_idx[rc, k, b, rank]                 # (H,)
-                cv = cand_valid[rc, k, b, rank]
-                sel = sel.at[:, b].set(pts[b, j])
-                msk = msk.at[:, b].set(~is_miss)
-                ok = ok & (is_miss | cv)
-            X, _ = tri.triangulate_points(sel, Ps, msk)
-            err = tri.reprojection_errors(sel, X, Ps, msk)
-            err = jnp.where(ok, err, _INF)
-            best = jnp.argmin(err)
-            return X[best], err[best], jnp.isfinite(err[best])
+        if mode == "exact":
+            h_max = n_opt ** (C - 1)
+            combos = jnp.asarray(_combo_table(len(later), n_opt, h_max))
+
+            def per_root(k, combos=combos, later=later, rc=rc, h_max=h_max):
+                # selected observation per hypothesis per camera
+                sel = jnp.zeros((h_max, C, 2), pts.dtype)
+                msk = jnp.zeros((h_max, C), bool)
+                ok = jnp.ones((h_max,), bool)
+                # own camera: always the root point itself
+                sel = sel.at[:, rc].set(pts[rc, k])
+                msk = msk.at[:, rc].set(True)
+                for li, b in enumerate(later):
+                    choice = combos[:, li]                   # (H,)
+                    is_miss = choice == n_opt - 1
+                    rank = jnp.minimum(choice, max_candidates - 1)
+                    j = cand_idx[rc, k, b, rank]             # (H,)
+                    cv = cand_valid[rc, k, b, rank]
+                    sel = sel.at[:, b].set(pts[b, j])
+                    msk = msk.at[:, b].set(~is_miss)
+                    ok = ok & (is_miss | cv)
+                X, _ = tri.triangulate_points(sel, Ps, msk)
+                err = tri.reprojection_errors(sel, X, Ps, msk)
+                err = jnp.where(ok, err, _INF)
+                score = jnp.where(ok, selection_score(err, msk, rc), _INF)
+                best = jnp.argmin(score)
+                return X[best], err[best], jnp.isfinite(err[best])
+        else:
+            B = beam_width
+            choice_vec = jnp.arange(n_opt)
+
+            def per_root(k, later=later, rc=rc, B=B):
+                sel = jnp.zeros((B, C, 2), pts.dtype)
+                msk = jnp.zeros((B, C), bool)
+                ok = jnp.zeros((B,), bool).at[0].set(True)  # one live seed
+                sel = sel.at[:, rc].set(pts[rc, k])
+                msk = msk.at[:, rc].set(True)
+                for b in later:
+                    is_miss = choice_vec == n_opt - 1        # (n_opt,)
+                    rank = jnp.minimum(choice_vec, max_candidates - 1)
+                    j = cand_idx[rc, k, b, rank]             # (n_opt,)
+                    cv = cand_valid[rc, k, b, rank]
+                    # expand: (B, n_opt, ...) then flatten
+                    sel_e = jnp.broadcast_to(sel[:, None], (B, n_opt, C, 2))
+                    sel_e = sel_e.at[:, :, b].set(
+                        jnp.broadcast_to(pts[b, j], (B, n_opt, 2)))
+                    msk_e = jnp.broadcast_to(msk[:, None], (B, n_opt, C))
+                    msk_e = msk_e.at[:, :, b].set(
+                        jnp.broadcast_to(~is_miss, (B, n_opt)))
+                    ok_e = ok[:, None] & (is_miss | cv)[None, :]
+                    sel_f = sel_e.reshape(B * n_opt, C, 2)
+                    msk_f = msk_e.reshape(B * n_opt, C)
+                    ok_f = ok_e.reshape(B * n_opt)
+                    X, _ = tri.triangulate_points(sel_f, Ps, msk_f)
+                    err = tri.reprojection_errors(sel_f, X, Ps, msk_f)
+                    # partials with <2 views rank at zero raw error
+                    nvis = jnp.sum(msk_f, axis=-1)
+                    err = jnp.where(nvis >= 2, err, 0.0)
+                    score = selection_score(err, msk_f, rc)
+                    score = jnp.where(ok_f, score, _INF)
+                    _, keep = jax.lax.top_k(-score, B)
+                    sel = sel_f[keep]
+                    msk = msk_f[keep]
+                    ok = ok_f[keep]
+                X, _ = tri.triangulate_points(sel, Ps, msk)
+                err = tri.reprojection_errors(sel, X, Ps, msk)
+                err = jnp.where(ok, err, _INF)
+                score = jnp.where(ok, selection_score(err, msk, rc), _INF)
+                best = jnp.argmin(score)
+                return X[best], err[best], jnp.isfinite(err[best])
 
         Xr, er, okr = jax.vmap(per_root)(jnp.arange(K))
         out_pts.append(Xr)
