@@ -119,6 +119,11 @@ class EngineConfig:
     # runtime
     target_fps: float = 150.0             # computer_code/api/index.py:40-41
     serial_baud: int = 1_000_000          # computer_code/api/index.py:21
+    # Deferred async readback: results are harvested N frames after
+    # dispatch so device->host latency overlaps compute. 0 = synchronous
+    # (same-frame outputs; right for low-latency links and tests); raise on
+    # high-latency device links (tunneled TPU: ~20 ms/fetch).
+    readback_pipeline_depth: int = 0
 
     # numerics
     dtype: str = "float32"

@@ -46,6 +46,61 @@ class FrameOutputs(NamedTuple):
     tracked: kalman.TrackedObjects      # Kalman/low-pass output
 
 
+def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
+    """Flatten FrameOutputs into ONE float32 vector on device.
+
+    A serving loop that reads results back per frame pays the host<->device
+    round-trip once per *array*; the ~20 small leaves of FrameOutputs cost
+    20 latencies.  Packing on device makes the readback a single ~2 KB
+    transfer.  Decode with ``unpack_outputs``.
+    """
+    parts = [
+        out.blob_px.reshape(-1),
+        out.blob_valid.astype(jnp.float32).reshape(-1),
+        out.object_points.reshape(-1),
+        out.point_errors.reshape(-1),
+        out.point_valid.astype(jnp.float32).reshape(-1),
+        out.objects.pos.reshape(-1),
+        out.objects.heading.reshape(-1),
+        out.objects.error.reshape(-1),
+        out.objects.index.astype(jnp.float32).reshape(-1),
+        out.objects.valid.astype(jnp.float32).reshape(-1),
+        out.tracked.pos.reshape(-1),
+        out.tracked.vel.reshape(-1),
+        out.tracked.heading.reshape(-1),
+        out.tracked.valid.astype(jnp.float32).reshape(-1),
+    ]
+    return jnp.concatenate(parts)
+
+
+def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
+                   num_objects: int) -> FrameOutputs:
+    """Inverse of ``pack_outputs`` on a host numpy array."""
+    C, K, O = num_cameras, max_blobs, num_objects
+    N = C * K
+    sizes = [C * K * 2, C * K, N * 3, N, N, N * 3, N, N, N, N,
+             O * 3, O * 3, O, O]
+    splits = np.split(np.asarray(arr), np.cumsum(sizes)[:-1])
+    (blob_px, blob_valid, obj_pts, errs, pvalid, lpos, lhead, lerr, lidx,
+     lvalid, tpos, tvel, thead, tvalid) = splits
+    import low_cost_mocap_tpu.ops.rigid as rigid_mod
+    import low_cost_mocap_tpu.ops.kalman as kalman_mod
+
+    return FrameOutputs(
+        blob_px=blob_px.reshape(C, K, 2),
+        blob_valid=blob_valid.reshape(C, K) > 0.5,
+        object_points=obj_pts.reshape(N, 3),
+        point_errors=errs,
+        point_valid=pvalid > 0.5,
+        objects=rigid_mod.LocatedObjects(
+            pos=lpos.reshape(N, 3), heading=lhead, error=lerr,
+            index=lidx.astype(np.int32), valid=lvalid > 0.5),
+        tracked=kalman_mod.TrackedObjects(
+            pos=tpos.reshape(O, 3), vel=tvel.reshape(O, 3), heading=thead,
+            valid=tvalid > 0.5),
+    )
+
+
 class MocapPipeline:
     """Holds rig geometry + compiled per-frame steps.
 

@@ -34,7 +34,13 @@ from low_cost_mocap_tpu.runtime.sources import FrameSource
 
 class Engine:
     def __init__(self, rig: RigConfig, cfg: EngineConfig, source: FrameSource,
-                 link: SerialLink, preprocess_frames: bool = False):
+                 link: SerialLink, preprocess_frames: bool = False,
+                 fast_path: bool | None = None):
+        """``fast_path`` (default: auto — on unless running on CPU) enables
+        the production ingest/compute path: host-side threshold + 1-bit
+        packed transfer and the fused Pallas detector (bit-identical
+        results; see ops/detect.py, ops/detect_pallas.py).  Unavailable
+        with ``preprocess_frames`` (blur/sharpen needs full frames)."""
         import jax
         import jax.numpy as jnp
 
@@ -42,6 +48,12 @@ class Engine:
         self.cfg = cfg
         self.source = source
         self.link = link
+        if fast_path is None:
+            fast_path = jax.default_backend() != "cpu"
+        self._fast = bool(fast_path) and not preprocess_frames
+        # packed ingest works on any backend; the fused Pallas kernel is
+        # TPU-only (interpret mode is test-only, too slow for the live loop)
+        self._pallas = self._fast and jax.default_backend() != "cpu"
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -58,8 +70,14 @@ class Engine:
         self._M = jnp.asarray(self.to_world_matrix)
         self._kalman_state = kalman_ops.init_state(rig.num_objects)
 
+        def _step_packed(*args, **kw):
+            from low_cost_mocap_tpu.models.pipeline import pack_outputs
+
+            state, out = frame_step(*args, **kw)
+            return state, pack_outputs(out)
+
         self._step = jax.jit(functools.partial(
-            frame_step,
+            _step_packed,
             threshold=cfg.detect_threshold,
             max_blobs=cfg.max_blobs,
             cc_iters=cfg.cc_iters,
@@ -71,8 +89,13 @@ class Engine:
             marker_side_min=rig.marker_side_min,
             do_preprocess=preprocess_frames,
             stage="locate",
+            packed_input=self._fast,
+            use_pallas=self._pallas,
         ), donate_argnums=(0,))
 
+        import collections
+
+        self._pending = collections.deque()  # in-flight async readbacks
         self._listeners: dict[str, list[Callable[[Any], None]]] = {}
         self._thread: threading.Thread | None = None
         self._running = False
@@ -276,9 +299,31 @@ class Engine:
         if not self.is_capturing_points:
             return None
 
-        self._kalman_state, out = self._step(
-            self._kalman_state, jnp.asarray(frames), jnp.asarray(dt),
+        if self._fast:
+            from low_cost_mocap_tpu.ops.detect import pack_frames
+
+            payload = pack_frames(frames, self.cfg.detect_threshold)
+        else:
+            payload = frames
+        self._kalman_state, packed = self._step(
+            self._kalman_state, jnp.asarray(payload), jnp.asarray(dt),
             self._Ps, self._K, self._dist, self._M)
+        # ONE ~2 KB device->host transfer for all outputs (fetching the ~20
+        # pytree leaves individually pays the readback latency per array).
+        # With readback_pipeline_depth > 0 the fetch is issued async and
+        # harvested `depth` frames later, overlapping device->host latency
+        # with subsequent frames' compute (high-latency links).
+        from low_cost_mocap_tpu.models.pipeline import unpack_outputs
+
+        depth = self.cfg.readback_pipeline_depth
+        if depth > 0:
+            packed.copy_to_host_async()
+            self._pending.append(packed)
+            if len(self._pending) <= depth:
+                return None
+            packed = self._pending.popleft()
+        out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
+                             self.cfg.max_blobs, self.rig.num_objects)
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent
@@ -339,11 +384,28 @@ class Engine:
 
     def latest_frame_strip(self) -> np.ndarray | None:
         """(H, C*W) uint8 montage for the MJPEG display path
-        (``computer_code/api/helpers.py:137-141``)."""
+        (``computer_code/api/helpers.py:137-141``), with detected blobs
+        annotated (the reference draws contours + coordinates on the
+        stream, ``helpers.py:148-157``)."""
         with self._frame_lock:
             if self._last_frames is None:
                 return None
-            return np.hstack(list(self._last_frames))
+            frames = self._last_frames
+            out = self._last_out
+        strip = np.hstack(list(frames)).copy()
+        if out is not None and self.is_capturing_points:
+            H, W = frames.shape[1], frames.shape[2]
+            blobs = np.asarray(out.blob_px)
+            bvalid = np.asarray(out.blob_valid)
+            for c in range(frames.shape[0]):
+                for k in np.where(bvalid[c])[0]:
+                    x = int(np.clip(blobs[c, k, 0], 0, W - 1)) + c * W
+                    y = int(np.clip(blobs[c, k, 1], 0, H - 1))
+                    x0, x1 = max(x - 4, 0), min(x + 5, strip.shape[1])
+                    y0, y1 = max(y - 4, 0), min(y + 5, H)
+                    strip[y, x0:x1] = 255   # crosshair
+                    strip[y0:y1, x] = 255
+        return strip
 
 
 def camera_poses_to_serializable(Rs: np.ndarray, ts: np.ndarray):

@@ -34,7 +34,12 @@ def main(argv=None):
     from low_cost_mocap_tpu.runtime import serial_link, sources
     from low_cost_mocap_tpu.utils import synthetic as syn
 
-    cfg = EngineConfig(target_fps=args.fps)
+    import jax
+
+    # tunneled/remote accelerators have ~20 ms device->host fetch latency;
+    # overlap it with compute by harvesting results a few frames late
+    depth = 0 if jax.default_backend() == "cpu" else 6
+    cfg = EngineConfig(target_fps=args.fps, readback_pipeline_depth=depth)
 
     if args.source == "synthetic":
         Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras)

@@ -59,15 +59,27 @@ def observe(X: np.ndarray, Rs, ts, rig: RigConfig, noise_px: float = 0.0,
     """Project points into every camera; add pixel noise; visibility mask.
 
     Returns (pts_px (N, C, 2), mask (N, C)) — mask is False off-frame.
+    Pure numpy (runs per frame inside the live synthetic source — device
+    dispatch for a handful of points would dominate).
     """
     K = rig.K_stack()
-    dist = rig.dist_stack() if distort else None
-    pts = np.asarray(
-        cam_ops.project_points(jnp.asarray(X)[None].repeat(len(Rs), 0),
-                               jnp.asarray(Rs), jnp.asarray(ts),
-                               jnp.asarray(K),
-                               jnp.asarray(dist) if dist is not None else None)
-    )  # (C, N, 2)
+    Xc = np.einsum("cij,nj->cni", np.asarray(Rs), np.asarray(X)) \
+        + np.asarray(ts)[:, None, :]                       # (C, N, 3)
+    xy = Xc[..., :2] / Xc[..., 2:3]
+    if distort:
+        d = rig.dist_stack()[:, None, :]                   # (C, 1, 5)
+        k1, k2, p1, p2, k3 = (d[..., i] for i in range(5))
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        x_t = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        y_t = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        xy = np.stack([x * radial + x_t, y * radial + y_t], axis=-1)
+    fx = K[:, None, 0, 0]
+    fy = K[:, None, 1, 1]
+    cx = K[:, None, 0, 2]
+    cy = K[:, None, 1, 2]
+    pts = np.stack([xy[..., 0] * fx + cx, xy[..., 1] * fy + cy], axis=-1)
     pts = np.transpose(pts, (1, 0, 2)).astype(np.float32)  # (N, C, 2)
     if noise_px > 0:
         assert rng is not None
@@ -81,20 +93,32 @@ def render_frames(pts_px: np.ndarray, mask: np.ndarray, image_size: int,
                   sigma: float = 1.5, amplitude: float = 1.0) -> np.ndarray:
     """Render Gaussian blobs into (C, H, W) float32 frames in [0, 1].
 
-    pts_px: (N, C, 2) pixel centres; mask: (N, C).
+    pts_px: (N, C, 2) pixel centres; mask: (N, C).  Only a small window
+    around each blob is evaluated (the tail beyond 5 sigma is < 4e-6, far
+    under the 8-bit quantisation floor), so rendering is O(blobs) rather
+    than O(blobs * pixels) — this runs per frame in the live synthetic
+    source.
     """
     N, C, _ = pts_px.shape
-    ys = np.arange(image_size, dtype=np.float32)
-    xs = np.arange(image_size, dtype=np.float32)
-    gx, gy = np.meshgrid(xs, ys)
-    frames = np.zeros((C, image_size, image_size), np.float32)
+    S = image_size
+    r = max(int(np.ceil(5.0 * sigma)), 2)
+    frames = np.zeros((C, S, S), np.float32)
     for c in range(C):
         for n in range(N):
             if not mask[n, c]:
                 continue
             x0, y0 = pts_px[n, c]
-            d2 = (gx - x0) ** 2 + (gy - y0) ** 2
-            frames[c] += amplitude * np.exp(-d2 / (2.0 * sigma**2))
+            xa, xb = int(np.floor(x0)) - r, int(np.floor(x0)) + r + 1
+            ya, yb = int(np.floor(y0)) - r, int(np.floor(y0)) + r + 1
+            xa_c, xb_c = max(xa, 0), min(xb, S)
+            ya_c, yb_c = max(ya, 0), min(yb, S)
+            if xa_c >= xb_c or ya_c >= yb_c:
+                continue
+            gx = np.arange(xa_c, xb_c, dtype=np.float32)
+            gy = np.arange(ya_c, yb_c, dtype=np.float32)
+            d2 = ((gx[None, :] - x0) ** 2 + (gy[:, None] - y0) ** 2)
+            frames[c, ya_c:yb_c, xa_c:xb_c] += amplitude * np.exp(
+                -d2 / (2.0 * sigma**2))
     return np.clip(frames, 0.0, 1.0)
 
 
