@@ -277,13 +277,31 @@ class Engine:
     def _loop(self) -> None:
         interval = 1.0 / self.cfg.target_fps
         last = time.monotonic()
+        consecutive_errors = 0
         while self._running:
             now = time.monotonic()
             if now - last < interval:
                 time.sleep(last + interval - now)
             dt = max(time.monotonic() - last, 1e-4)
             last = time.monotonic()
-            self.process_frame(self.source.read(), dt)
+            try:
+                self.process_frame(self.source.read(), dt)
+                consecutive_errors = 0
+            except Exception as e:
+                # a camera hiccup or transient device error must not kill the
+                # capture loop (the reference simply crashes — SURVEY.md §5
+                # "camera dropout ... unhandled")
+                consecutive_errors += 1
+                self.emit("engine-error",
+                          {"error": str(e), "count": consecutive_errors})
+                if consecutive_errors >= 50:
+                    self.emit("engine-error",
+                              {"error": "too many consecutive failures; "
+                                        "stopping capture", "fatal": True})
+                    self.is_capturing_points = False
+                    consecutive_errors = 0
+                time.sleep(0.05)
+                continue
             self.frame_count += 1
             self.fps = 0.9 * self.fps + 0.1 * (1.0 / dt)
             if self.frame_count % 10 == 0:
