@@ -29,12 +29,23 @@ void DroneSim::Step(const int16_t ch[16], double dt) {
   const double thr = std::clamp(
       (static_cast<double>(Wire(ch[2])) - 172.0) / (1811.0 - 172.0), 0.0, 1.0);
 
+  // first-order actuator lag (motor spool-up / attitude response)
+  const double alpha =
+      p_.actuator_tau > 0 ? std::min(dt / p_.actuator_tau, 1.0) : 1.0;
+  act_[0] += (nx - act_[0]) * alpha;
+  act_[1] += (ny - act_[1]) * alpha;
+  act_[2] += (thr - act_[2]) * alpha;
+
   double acc[3] = {0.0, 0.0, -p_.gravity};
   if (armed) {
-    acc[0] += nx * p_.tilt_accel;
-    acc[1] += ny * p_.tilt_accel;
-    acc[2] += thr * p_.max_thrust_accel;
-    yaw_ += nyaw * p_.yaw_rate * dt;
+    acc[0] += act_[0] * p_.tilt_accel;
+    acc[1] += act_[1] * p_.tilt_accel;
+    acc[2] += act_[2] * p_.max_thrust_accel;
+    // negative response: the mocap feed reports heading NEGATED (the
+    // reference's locator convention, computer_code/api/helpers.py:474), so
+    // a positive yaw channel must produce negative yaw rate for the yaw
+    // loop to be negative feedback end-to-end
+    yaw_ -= nyaw * p_.yaw_rate * dt;
   }
   for (int i = 0; i < 3; ++i) {
     acc[i] -= p_.drag * vel_[i];

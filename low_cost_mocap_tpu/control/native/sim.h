@@ -12,11 +12,12 @@ namespace lcm {
 
 struct SimParams {
   double tilt_accel = 5.0;        // m/s^2 at full stick deflection
-  // Full-throttle acceleration. High thrust/weight (~4.5) like the
-  // reference's racing-quad hardware — necessary: the firmware's
-  // ground-effect clamp cuts commanded PWM ~63% at landed marker height,
-  // so takeoff only works with substantial thrust headroom.
-  double max_thrust_accel = 44.0; // m/s^2 at full throttle
+  // Full-throttle acceleration. The velocity PID's zero output maps to PWM
+  // 992 = mid-throttle (receiver_esp32.ino:240), so a consistent airframe
+  // hovers at half range: max thrust ~= 2g. Higher thrust/weight makes the
+  // cascade's zero-output point a hard climb and the closed loop
+  // unflyable at vision rates.
+  double max_thrust_accel = 19.62; // m/s^2 at full throttle (T/W = 2)
   double yaw_rate = 3.0;          // rad/s at full yaw stick
   double drag = 0.3;              // linear drag coefficient (1/s)
   double gravity = 9.81;
@@ -24,7 +25,11 @@ struct SimParams {
   // because the firmware's ground-effect clamp zeroes throttle entirely at
   // z == 0 with the default coef (receiver_esp32.ino:242-243) — real
   // takeoffs work only because the landed marker reads a few cm up.
-  double ground_height = 0.04;
+  double ground_height = 0.07;
+  // First-order actuator response (motor spool-up / attitude dynamics).
+  // Instant thrust would let the vehicle punch through a 60 Hz vision loop
+  // before the velocity PID can react — real quads can't.
+  double actuator_tau = 0.08;  // seconds
 };
 
 class DroneSim {
@@ -44,6 +49,8 @@ class DroneSim {
   double pos_[3] = {0, 0, 0};
   double vel_[3] = {0, 0, 0};
   double yaw_ = 0;
+  // lagged actuator states: nx, ny, thr
+  double act_[3] = {0, 0, 0};
 };
 
 }  // namespace lcm

@@ -41,6 +41,7 @@ class KalmanState(NamedTuple):
     prev_pos: jnp.ndarray     # (O, 3)
     lpf_heading: jnp.ndarray  # (O, 5)
     lpf_vel: jnp.ndarray      # (O, 3, 5)
+    age: jnp.ndarray          # (O,) seconds since last detection
 
 
 class TrackedObjects(NamedTuple):
@@ -58,6 +59,7 @@ def init_state(num_objects: int, dtype=jnp.float32) -> KalmanState:
         prev_pos=jnp.zeros((num_objects, 3), dtype),
         lpf_heading=jnp.zeros((num_objects, 5), dtype),
         lpf_vel=jnp.zeros((num_objects, 3, 5), dtype),
+        age=jnp.zeros((num_objects,), dtype),
     )
 
 
@@ -70,14 +72,24 @@ def _transition(dt, dtype):
     return F
 
 
-@functools.partial(jax.jit, static_argnames=("process_noise", "meas_noise"))
+@functools.partial(jax.jit, static_argnames=("process_noise", "meas_noise",
+                                             "gap_reset_s"))
 def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
-           dt, *, process_noise: float = 1e-2, meas_noise: float = 1.0):
+           dt, *, process_noise: float = 1e-2, meas_noise: float = 1.0,
+           gap_reset_s: float = 0.5):
     """One tracking step for the whole bank.
 
     cand_*: (M,) candidate detections from ``ops.rigid.locate_objects``
     (pos (M, 3), heading (M,), index (M,), valid (M,)).
     Returns (new_state, TrackedObjects).
+
+    Velocity measurement (improvement over the reference, documented): the
+    finite difference divides by the per-object time since its LAST
+    detection, not the global frame dt — the reference's ``(new - prev) /
+    dt`` (KalmanFilter.py:79) multiplies the true velocity by the number of
+    frames the object went undetected (a single missed frame doubles it),
+    which can slam the drone's velocity PID.  After a gap longer than
+    ``gap_reset_s`` the measurement re-seeds to zero instead.
     """
     O = state.x.shape[0]
     dtype = state.x.dtype
@@ -89,7 +101,7 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     b, a = lowpass.butter_coeffs()
 
     def per_object(o, xs):
-        x, P, inited, prev_pos, lh, lv = xs
+        x, P, inited, prev_pos, lh, lv, age = xs
         mine = cand_valid & (cand_index == o)
         any_mine = jnp.any(mine)
 
@@ -114,7 +126,12 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         d2 = jnp.where(mine, d2, jnp.inf)
         ci = jnp.argmin(d2)
         new_pos = cand_pos[ci]
-        new_vel = (new_pos - prev_pos) / jnp.maximum(dt, 1e-6)
+        # finite-difference velocity over the object's true elapsed time;
+        # after a long tracking gap the previous position is meaningless
+        elapsed = age + dt
+        reseed = elapsed > gap_reset_s
+        vel_base = jnp.where(reseed, new_pos, prev_pos)
+        new_vel = (new_pos - vel_base) / jnp.maximum(elapsed, 1e-6)
 
         # correct
         z = jnp.concatenate([new_pos, new_vel])
@@ -129,6 +146,7 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
 
         # commit only when this object had a detection (reference `continue`)
         upd = lambda new, old: jnp.where(any_mine, new, old)
+        new_age = jnp.where(any_mine, 0.0, age + dt)
         out = (
             upd(x_post, x),
             upd(P_post, P),
@@ -136,13 +154,14 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
             upd(new_pos, prev_pos),
             upd(lh2, lh),
             upd(lv2, lv),
+            new_age,
         )
         # reported pose/vel: the PREDICTED state (reference statePre quirk)
         return out, (x_pre[:3], vel_f, heading_f, any_mine)
 
     ids = jnp.arange(O)
     xs = (state.x, state.P, state.initialized, state.prev_pos,
-          state.lpf_heading, state.lpf_vel)
+          state.lpf_heading, state.lpf_vel, state.age)
     new_xs, (pos, vel, heading, ok) = jax.vmap(per_object)(ids, xs)
     new_state = KalmanState(*new_xs)
     pos = jnp.where(ok[:, None], pos, 0.0)

@@ -382,11 +382,20 @@ class Engine:
                         "droneIndex": int(d),
                     })
                     if self.drone_armed[d]:
-                        # pose+vel feed (computer_code/api/helpers.py:113-122)
+                        # pose+vel feed (computer_code/api/helpers.py:113-122).
+                        # Frame conversion at the link boundary: the engine's
+                        # world frame is display-y-up [x, up, z] while the
+                        # firmware reads pos[2] as ALTITUDE
+                        # (receiver_esp32.ino:84-88, zPos drives throttle/
+                        # ground effect) — so send [x, z, up].
                         self.link.send(int(d), {
-                            "pos": [round(float(x), 4) for x in pos]
-                                   + [round(heading, 4)],
-                            "vel": [round(float(x), 4) for x in vel],
+                            "pos": [round(float(pos[0]), 4),
+                                    round(float(pos[2]), 4),
+                                    round(float(pos[1]), 4),
+                                    round(heading, 4)],
+                            "vel": [round(float(vel[0]), 4),
+                                    round(float(vel[2]), 4),
+                                    round(float(vel[1]), 4)],
                         })
             self.emit("object-points", {
                 "object_points": obj_pts.tolist(),

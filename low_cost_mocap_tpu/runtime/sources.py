@@ -87,6 +87,71 @@ class SyntheticSource:
         pass
 
 
+class SimulatedRigSource:
+    """Renders the loopback link's simulated drones — full-system SIL.
+
+    Closes the entire loop without hardware: simulator poses -> rendered
+    marker blobs -> vision pipeline -> tracked pose feed -> native cascade
+    -> simulator dynamics.  The drone pose lives in the firmware frame
+    (x, y, altitude); display-world coordinates are [x, alt, y] and the
+    camera-frame rendering applies the inverse of ``ops.world.to_world``
+    with the identity matrix.
+    """
+
+    def __init__(self, rig: RigConfig, Rs: np.ndarray, ts: np.ndarray,
+                 link, sigma: float = 0.8):
+        self.rig = rig
+        self.num_cameras = rig.num_cameras
+        self.image_size = rig.image_size
+        self.Rs = Rs
+        self.ts = ts
+        self.link = link
+        self.sigma = sigma
+        self.exposure = 100.0
+        self.gain = 10.0
+
+    def _markers_cam(self) -> np.ndarray:
+        out = []
+        half = self.rig.marker_dist_long / 2.0
+        h = float(np.sqrt(max(self.rig.marker_dist_short**2 - half**2, 1e-8)))
+        for i in range(self.link.num_drones):
+            p, v, yaw = self.link.drone_state(i)
+            c, s = np.cos(yaw), np.sin(yaw)
+            # firmware frame (x, y, alt): arm along heading, 3rd LED +y side
+            local = np.array([[half, 0.0], [-half, 0.0], [0.0, h]], np.float64)
+            rot = np.array([[c, -s], [s, c]])
+            xy = local @ rot.T + p[:2]
+            markers_fw = np.column_stack(
+                [xy, np.full(3, p[2])])                     # (3, 3) x,y,alt
+            # world(display) = [x, alt, y]; cam = flip(swap(world))
+            world = markers_fw[:, [0, 2, 1]]
+            cam = world[:, [0, 2, 1]] * np.array([-1.0, -1.0, 1.0])
+            out.append(cam)
+        return (np.concatenate(out).astype(np.float32)
+                if out else np.zeros((0, 3), np.float32))
+
+    def read(self) -> np.ndarray:
+        X = self._markers_cam()
+        pts, mask = observe_points(X, self.Rs, self.ts, self.rig)
+        frames = syn.render_frames(pts, mask, self.image_size,
+                                   sigma=self.sigma)
+        return (frames * 255).astype(np.uint8)
+
+    def set_settings(self, exposure: float, gain: float) -> None:
+        self.exposure = exposure
+        self.gain = gain
+
+    def close(self) -> None:
+        pass
+
+
+def observe_points(X, Rs, ts, rig):
+    if len(X) == 0:
+        return (np.zeros((0, rig.num_cameras, 2), np.float32),
+                np.zeros((0, rig.num_cameras), bool))
+    return syn.observe(X, Rs, ts, rig)
+
+
 class RecordedSource:
     """Replays a recorded (T, C, H, W) uint8 sequence from .npz, looping."""
 
