@@ -103,19 +103,41 @@ def bootstrap_poses(key, pts, mask, K_stack, ransac_iters: int = 512,
 
 def calibrate(key, pts, mask, K_stack, *, ransac_iters: int = 512,
               threshold_px: float = 1.0, ba_iters: int = 64,
-              ba_mode: str = "pixel") -> CalibrationResult:
+              ba_mode: str = "pixel", progress_cb=None,
+              progress_chunk: int = 8) -> CalibrationResult:
     """Full extrinsics calibration from captured image points.
 
     The reference's whole ``calculate-camera-pose`` handler
     (``computer_code/api/index.py:229-277``) as one function.
+
+    ``progress_cb(Rs, ts, iters_done)``: when given, BA runs in chunks of
+    ``progress_chunk`` iterations and the callback fires between chunks —
+    the reference streams intermediate poses to the UI on every residual
+    evaluation (``computer_code/api/helpers.py:274``); chunked solves keep
+    that operator feedback without host round-trips inside the solver.
     """
     C = pts.shape[1]
     Rs0, ts0 = bootstrap_poses(key, pts, mask, K_stack,
                                ransac_iters=ransac_iters,
                                threshold_px=threshold_px)
-    res = ba_ops.bundle_adjust(pts, mask, K_stack, Rs0, ts0,
-                               num_cameras=C, max_iters=ba_iters,
-                               mode=ba_mode)
+    if progress_cb is None:
+        res = ba_ops.bundle_adjust(pts, mask, K_stack, Rs0, ts0,
+                                   num_cameras=C, max_iters=ba_iters,
+                                   mode=ba_mode)
+    else:
+        import numpy as np
+
+        Rs_c, ts_c = Rs0, ts0
+        done = 0
+        res = None
+        while done < ba_iters:
+            n = min(progress_chunk, ba_iters - done)
+            res = ba_ops.bundle_adjust(pts, mask, K_stack, Rs_c, ts_c,
+                                       num_cameras=C, max_iters=n,
+                                       mode=ba_mode)
+            Rs_c, ts_c = res.Rs, res.ts
+            done += n
+            progress_cb(np.asarray(res.Rs), np.asarray(res.ts), done)
     K = ba_ops._apply_focals(K_stack, res.focals)
     Ps = projection_matrix(K, res.Rs, res.ts)
     X, _ = tri.triangulate_points(pts, Ps, mask)

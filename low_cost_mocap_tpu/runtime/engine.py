@@ -95,7 +95,10 @@ class Engine:
 
         import collections
 
+        from low_cost_mocap_tpu.utils.profiling import StageTimer
+
         self._pending = collections.deque()  # in-flight async readbacks
+        self.timer = StageTimer()
         self._listeners: dict[str, list[Callable[[Any], None]]] = {}
         self._thread: threading.Thread | None = None
         self._running = False
@@ -150,11 +153,20 @@ class Engine:
                 if p is not None and p[0] is not None:
                     pts[f, c] = p
                     mask[f, c] = True
+        def progress(Rs_i, ts_i, iters_done):
+            # stream intermediate poses like the reference does on every BA
+            # residual evaluation (computer_code/api/helpers.py:274)
+            self.emit("camera-pose", {
+                "error": None,
+                "camera_poses": camera_poses_to_serializable(Rs_i, ts_i),
+                "ba_iters": int(iters_done),
+            })
+
         res = calibrator.calibrate(
             jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask),
             self._K, ransac_iters=self.cfg.ransac_iters,
             threshold_px=self.cfg.ransac_threshold_px,
-            ba_iters=self.cfg.ba_max_iters)
+            ba_iters=self.cfg.ba_max_iters, progress_cb=progress)
         Rs = np.asarray(res.Rs)
         ts = np.asarray(res.ts)
         self.set_camera_poses(Rs, ts)
@@ -285,7 +297,10 @@ class Engine:
             dt = max(time.monotonic() - last, 1e-4)
             last = time.monotonic()
             try:
-                self.process_frame(self.source.read(), dt)
+                with self.timer.stage("read"):
+                    frames = self.source.read()
+                with self.timer.stage("process"):
+                    self.process_frame(frames, dt)
                 consecutive_errors = 0
             except Exception as e:
                 # a camera hiccup or transient device error must not kill the
@@ -306,6 +321,10 @@ class Engine:
             self.fps = 0.9 * self.fps + 0.1 * (1.0 / dt)
             if self.frame_count % 10 == 0:
                 self.emit("fps", {"fps": round(self.fps)})
+            if self.frame_count % 120 == 0:
+                # per-stage timing telemetry (SURVEY.md §5: the reference
+                # has only the fps counter)
+                self.emit("metrics", self.timer.summary())
 
     def process_frame(self, frames: np.ndarray, dt: float):
         """One frame through the compiled step + reference-shaped emits."""

@@ -89,9 +89,11 @@ class MocapServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-        # engine -> all socket.io clients
+        # engine -> all socket.io clients (the reference's five server
+        # events plus the new observability surface)
         for ev in ("image-points", "object-points", "camera-pose",
-                   "to-world-coords-matrix", "fps"):
+                   "to-world-coords-matrix", "fps", "metrics",
+                   "engine-error"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring
