@@ -117,8 +117,12 @@ class SimulatedRigSource:
         for i in range(self.link.num_drones):
             p, v, yaw = self.link.drone_state(i)
             c, s = np.cos(yaw), np.sin(yaw)
-            # firmware frame (x, y, alt): arm along heading, 3rd LED +y side
-            local = np.array([[half, 0.0], [-half, 0.0], [0.0, h]], np.float64)
+            # firmware frame (x, y, alt): arm along heading; the third LED's
+            # side encodes the drone identity (mounted mirrored on drone 1,
+            # computer_code/api/helpers.py:469)
+            side = h if i % 2 == 0 else -h
+            local = np.array([[half, 0.0], [-half, 0.0], [0.0, side]],
+                             np.float64)
             rot = np.array([[c, -s], [s, c]])
             xy = local @ rot.T + p[:2]
             markers_fw = np.column_stack(

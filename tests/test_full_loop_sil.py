@@ -64,6 +64,42 @@ def test_vision_in_the_loop_hover():
     assert abs(yaw) < 0.2, yaw
 
 
+@pytest.mark.slow
+def test_vision_in_the_loop_two_drones():
+    """Two drones fly simultaneously to different setpoints, identities
+    kept apart by the mirrored third-LED convention — vision only."""
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    link = LoopbackLink(2)
+    link.sims[0].set_state([0.35, -0.2, 0.07])
+    link.sims[1].set_state([-0.35, 0.2, 0.07])
+    source = SimulatedRigSource(rig, Rs, ts, link)
+    eng = Engine(rig, EngineConfig(), source, link)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    targets = {0: [0.3, -0.2, 0.5], 1: [-0.3, 0.2, 0.6]}
+    for d in (0, 1):
+        eng.handle("set-drone-pid", {"droneIndex": d, "dronePID": pid})
+        eng.handle("set-drone-setpoint", {"droneIndex": d,
+                                          "droneSetpoint": targets[d]})
+    fps = 60.0
+    for f in range(int(40 * fps)):
+        eng.process_frame(source.read(), 1.0 / fps)
+        for _ in range(5):
+            link.tick(1.0 / fps / 5)
+        if f % 30 == 0:
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+    for d in (0, 1):
+        pos, vel, _ = link.drone_state(d)
+        assert np.linalg.norm(pos - np.asarray(targets[d])) < 0.05, (d, pos)
+        assert np.linalg.norm(vel) < 0.1, (d, vel)
+
+
 def test_simulated_rig_source_renders_markers():
     Rs, ts, rig = syn.ring_rig(num_cameras=2)
     link = LoopbackLink(1)
