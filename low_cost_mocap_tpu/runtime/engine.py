@@ -35,7 +35,8 @@ from low_cost_mocap_tpu.runtime.sources import FrameSource
 class Engine:
     def __init__(self, rig: RigConfig, cfg: EngineConfig, source: FrameSource,
                  link: SerialLink, preprocess_frames: bool = False,
-                 fast_path: bool | None = None):
+                 fast_path: bool | None = None,
+                 artifacts_dir: str | None = None):
         """``fast_path`` (default: auto — on unless running on CPU) enables
         the production ingest/compute path: host-side threshold + 1-bit
         packed transfer and the fused Pallas detector (bit-identical
@@ -63,12 +64,15 @@ class Engine:
         self.to_world_matrix = np.eye(4, dtype=np.float32)
         self.drone_armed = [False] * rig.num_objects
         self.captured_points: list[list[list[float | None]]] = []
+        self.artifacts_dir = artifacts_dir
 
         self._K = jnp.asarray(rig.K_stack())
         self._dist = jnp.asarray(rig.dist_stack())
         self._Ps = jnp.tile(jnp.eye(3, 4), (rig.num_cameras, 1, 1))
         self._M = jnp.asarray(self.to_world_matrix)
         self._kalman_state = kalman_ops.init_state(rig.num_objects)
+        if artifacts_dir:
+            self._load_calibration_artifact()  # resume persisted calibration
 
         def _step_packed(*args, **kw):
             from low_cost_mocap_tpu.models.pipeline import pack_outputs
@@ -264,12 +268,47 @@ class Engine:
         self.camera_poses = (Rs, ts)
         self._Ps = cam_ops.projection_matrix(
             self._K, jnp.asarray(Rs), jnp.asarray(ts))
+        self._save_calibration_artifact()
 
     def set_to_world_matrix(self, M: np.ndarray) -> None:
         import jax.numpy as jnp
 
         self.to_world_matrix = M.astype(np.float32)
         self._M = jnp.asarray(self.to_world_matrix)
+        self._save_calibration_artifact()
+
+    def _artifact_path(self) -> str:
+        import os
+
+        return os.path.join(self.artifacts_dir, "calibration.json")
+
+    def _save_calibration_artifact(self) -> None:
+        """Persist full calibration server-side (the reference keeps
+        extrinsics + world matrix as browser state only, SURVEY.md §5)."""
+        if not self.artifacts_dir or self.camera_poses is None:
+            return
+        import os
+
+        from low_cost_mocap_tpu.utils.artifacts import (
+            Calibration, save_calibration)
+
+        os.makedirs(self.artifacts_dir, exist_ok=True)
+        Rs, ts = self.camera_poses
+        save_calibration(self._artifact_path(), Calibration(
+            Rs=np.asarray(Rs), ts=np.asarray(ts), focals=None,
+            to_world_matrix=self.to_world_matrix))
+
+    def _load_calibration_artifact(self) -> None:
+        import os
+
+        path = self._artifact_path()
+        if not os.path.exists(path):
+            return
+        from low_cost_mocap_tpu.utils.artifacts import load_calibration
+
+        calib = load_calibration(path)
+        self.set_camera_poses(calib.Rs, calib.ts)
+        self.set_to_world_matrix(calib.to_world_matrix)
 
     # -------------------------------------------------------------- loop
 

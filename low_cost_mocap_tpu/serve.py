@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--serial-device", default="/dev/ttyUSB0")
     p.add_argument("--fps", type=float, default=150.0)
     p.add_argument("--calibration", help="calibration artifact (json) to load")
+    p.add_argument("--artifacts-dir", default="artifacts",
+                   help="directory for auto-persisted calibration state")
     args = p.parse_args(argv)
 
     from low_cost_mocap_tpu.config import EngineConfig, RigConfig
@@ -63,7 +65,8 @@ def main(argv=None):
     else:
         link = serial_link.CollectingLink()
 
-    engine = Engine(rig, cfg, source, link)
+    engine = Engine(rig, cfg, source, link,
+                    artifacts_dir=args.artifacts_dir)
     if args.calibration:
         from low_cost_mocap_tpu.utils.artifacts import load_calibration
 
