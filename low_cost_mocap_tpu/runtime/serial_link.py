@@ -59,23 +59,25 @@ class LoopbackLink:
             sim.set_state([0.0, 0.0, 0.04])
         self.num_drones = num_drones
         self._lock = threading.Lock()
-        self._t0 = time.monotonic()
-        self._last_step = 0.0
-
-    def _now_us(self) -> int:
-        return int((time.monotonic() - self._t0) * 1e6)
+        # Simulated clock, advanced by exactly dt per tick().  The cascade
+        # derives its PID dt and the 2 s ping failsafe from these timestamps
+        # (cascade.cc Step/OnCommand), so stamping with wall-clock time would
+        # couple the *simulated* control loop to host execution speed —
+        # slower-than-real-time test runs then see inflated PID dt and
+        # spurious failsafe disarms (nondeterministic flight).
+        self._sim_us = 0
 
     def send(self, drone_index: int, payload: dict) -> None:
         with self._lock:
             frame = f"{drone_index}{json.dumps(payload)}".encode()
-            self.bank.feed(frame, self._now_us())
+            self.bank.feed(frame, self._sim_us)
 
     def tick(self, dt: float) -> None:
         """Advance cascades + simulators by dt (call at control rate)."""
         with self._lock:
-            now = self._now_us()
+            self._sim_us += int(dt * 1e6)
             for i, sim in enumerate(self.sims):
-                ch = self.bank.step(i, now)
+                ch = self.bank.step(i, self._sim_us)
                 sim.step(ch, dt)
 
     def drone_state(self, i: int):
