@@ -116,6 +116,12 @@ class EngineConfig:
     lpf_sample_hz: float = 60.0
     lpf_order: int = 5
 
+    # Sparse ingest: lit-pixel index budget per frame-set (host->device
+    # payload = 4*budget bytes).  Thresholded mocap frames carry a few
+    # hundred lit pixels (markers on black); frames exceeding the budget
+    # fall back to the dense 1-bit packed path, bit-exactly.
+    sparse_budget: int = 2048
+
     # runtime
     target_fps: float = 150.0             # computer_code/api/index.py:40-41
     serial_baud: int = 1_000_000          # computer_code/api/index.py:21

@@ -72,6 +72,16 @@ def _load() -> ctypes.CDLL:
     lib.lcm_otg_plan.argtypes = [ctypes.c_int] + \
         [ctypes.POINTER(ctypes.c_double)] * 5 + \
         [ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+
+    lib.lcm_pack_bits.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64, ctypes.c_uint8,
+                                  ctypes.POINTER(ctypes.c_uint8)]
+
+    lib.lcm_extract_bits.restype = ctypes.c_int64
+    lib.lcm_extract_bits.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                     ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_int32),
+                                     ctypes.c_int64]
     return lib
 
 
@@ -201,3 +211,37 @@ def plan_trajectory_segment(start, end, max_vel, max_accel, max_jerk,
         _dptr(lim(max_accel)), _dptr(lim(max_jerk)), timestep,
         _dptr(out.reshape(-1)), max_steps)
     return out[:n].copy()
+
+
+def pack_bits(frames_u8: np.ndarray, cutoff: int) -> np.ndarray:
+    """Fused threshold + MSB-first bit-pack along the last axis (SIMD).
+
+    Equivalent to ``np.packbits(frames_u8 >= cutoff, axis=-1)`` for a last
+    axis divisible by 8; the per-frame host ingest hot path (ops/detect.py
+    ``pack_frames``).
+    """
+    assert frames_u8.dtype == np.uint8 and frames_u8.shape[-1] % 8 == 0
+    flat = np.ascontiguousarray(frames_u8).reshape(-1)
+    out = np.empty(flat.size // 8, np.uint8)
+    get_lib().lcm_pack_bits(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size,
+        np.uint8(cutoff),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.reshape(*frames_u8.shape[:-1], frames_u8.shape[-1] // 8)
+
+
+def extract_bits(packed: np.ndarray, max_out: int) -> tuple[np.ndarray, int]:
+    """Pixel indices of all set bits in an MSB-first packed bitmap.
+
+    Returns (idx, total_count): idx is (max_out,) int32, entries beyond the
+    true count are padded with INT32_MAX (unambiguously out of range, so a
+    JAX scatter with mode="drop" discards them — negative padding would WRAP
+    to a valid index); total_count may exceed max_out (overflow — callers
+    fall back to dense ingest).
+    """
+    flat = np.ascontiguousarray(packed).reshape(-1)
+    out = np.full(max_out, np.iinfo(np.int32).max, np.int32)
+    count = get_lib().lcm_extract_bits(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), flat.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out)
+    return out, int(count)

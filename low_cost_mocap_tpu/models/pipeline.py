@@ -160,15 +160,22 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
                marker_side_min: float,
                do_preprocess: bool, stage: str, packed_input: bool = False,
+               sparse_input: bool = False,
+               image_shape: tuple[int, int, int] | None = None,
                use_pallas: bool = False):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
     (host/camera-side threshold, 1 bit/pixel — the production ingest path;
-    see ``ops.detect.unpack_bits``); otherwise (C, H, W) uint8/float frames
-    thresholded on device.
+    see ``ops.detect.unpack_bits``); ``sparse_input=True`` takes (budget,)
+    int32 lit-pixel indices (``ops.detect.sparse_ingest`` — minimal
+    host->device bytes; ``image_shape`` = (C, H, W) must be given);
+    otherwise (C, H, W) uint8/float frames thresholded on device.
     """
-    if packed_input:
+    if sparse_input:
+        frames = detect.scatter_pixels(frames, image_shape)
+        eff_threshold = 0.5
+    elif packed_input:
         frames = detect.unpack_bits(frames)
         eff_threshold = 0.5
     else:

@@ -96,9 +96,59 @@ def pack_frames(frames_u8: np.ndarray, threshold: float) -> np.ndarray:
     (``frames * float32(1/255) > float32(threshold)`` — the float32 rounding
     matters for edge-value pixels), then packs rows MSB-first for
     ``unpack_bits``.
+
+    Hot path (runs per frame on the host ingest side): the float32 test is
+    monotone in the uint8 pixel value, so it reduces to one unsigned compare
+    against a precomputed cutoff — fused with the bit-pack in native SIMD
+    (``control/native/ingest.cc``) when the last axis is byte-aligned.
     """
-    scaled = frames_u8.astype(np.float32) * np.float32(1.0 / 255.0)
-    return np.packbits(scaled > np.float32(threshold), axis=-1)
+    passes = (np.arange(256, dtype=np.float32)
+              * np.float32(1.0 / 255.0)) > np.float32(threshold)
+    if not passes.any():
+        return np.zeros(frames_u8.shape[:-1] + (frames_u8.shape[-1] // 8,),
+                        np.uint8)
+    cutoff = int(np.argmax(passes))  # smallest uint8 value that passes
+    if frames_u8.shape[-1] % 8 == 0:
+        try:
+            from low_cost_mocap_tpu.control.bindings import pack_bits
+
+            return pack_bits(frames_u8, cutoff)
+        except Exception:  # pragma: no cover - no toolchain: numpy fallback
+            pass
+    return np.packbits(frames_u8 >= cutoff, axis=-1)
+
+
+def sparse_ingest(frames_u8: np.ndarray, threshold: float,
+                  budget: int) -> tuple[np.ndarray, bool]:
+    """Host-side threshold + set-pixel index extraction (sparsest ingest).
+
+    Thresholded mocap frames are ~99.9% zero (a handful of LED blobs on
+    black), so shipping the *indices* of lit pixels beats even the 1-bit
+    bitmap of ``pack_frames``: (budget,) int32 = 4*budget bytes, independent
+    of resolution.  Returns (idx, ok, packed): idx is (budget,) int32 padded
+    with INT32_MAX (out-of-range — ``scatter_pixels`` drops it); ok=False
+    means more than ``budget`` pixels were lit and the caller must fall back
+    to the dense ``packed`` bitmap for this frame (bit-exactness is never
+    sacrificed — both encodings are returned from one packing pass).
+    """
+    from low_cost_mocap_tpu.control.bindings import extract_bits
+
+    packed = pack_frames(frames_u8, threshold)
+    idx, count = extract_bits(packed, budget)
+    return idx, count <= budget, packed
+
+
+def scatter_pixels(idx, shape) -> "jnp.ndarray":
+    """(budget,) int32 lit-pixel indices -> dense float32 binary frames.
+
+    Device-side inverse of ``sparse_ingest``; padding (INT32_MAX) entries
+    drop out via scatter ``mode="drop"``.  Bit-identical to ``unpack_bits`` of the
+    corresponding packed bitmap whenever the budget was not exceeded.
+    """
+    C, H, W = shape
+    flat = jnp.zeros((C * H * W,), jnp.float32)
+    flat = flat.at[idx].set(1.0, mode="drop")
+    return flat.reshape(C, H, W)
 
 
 def unpack_bits(packed):

@@ -80,8 +80,7 @@ class Engine:
             state, out = frame_step(*args, **kw)
             return state, pack_outputs(out)
 
-        self._step = jax.jit(functools.partial(
-            _step_packed,
+        _common = dict(
             threshold=cfg.detect_threshold,
             max_blobs=cfg.max_blobs,
             cc_iters=cfg.cc_iters,
@@ -93,9 +92,18 @@ class Engine:
             marker_side_min=rig.marker_side_min,
             do_preprocess=preprocess_frames,
             stage="locate",
-            packed_input=self._fast,
             use_pallas=self._pallas,
-        ), donate_argnums=(0,))
+        )
+        self._step = jax.jit(functools.partial(
+            _step_packed, packed_input=self._fast, **_common),
+            donate_argnums=(0,))
+        # Sparse-ingest variant (lit-pixel indices, minimal host->device
+        # bytes); used on the fast path whenever the frame fits the budget,
+        # with self._step as the bit-exact dense fallback.
+        self._step_sparse = jax.jit(functools.partial(
+            _step_packed, sparse_input=True,
+            image_shape=(rig.num_cameras, rig.image_size, rig.image_size),
+            **_common), donate_argnums=(0,)) if self._fast else None
 
         import collections
 
@@ -375,13 +383,20 @@ class Engine:
         if not self.is_capturing_points:
             return None
 
+        step = self._step
         if self._fast:
-            from low_cost_mocap_tpu.ops.detect import pack_frames
+            from low_cost_mocap_tpu.ops.detect import sparse_ingest
 
-            payload = pack_frames(frames, self.cfg.detect_threshold)
+            idx, ok, packed = sparse_ingest(
+                frames, self.cfg.detect_threshold, self.cfg.sparse_budget)
+            if ok:
+                step = self._step_sparse
+                payload = idx
+            else:  # budget exceeded: dense 1-bit path, bit-exact
+                payload = packed
         else:
             payload = frames
-        self._kalman_state, packed = self._step(
+        self._kalman_state, packed = step(
             self._kalman_state, jnp.asarray(payload), jnp.asarray(dt),
             self._Ps, self._K, self._dist, self._M)
         # ONE ~2 KB device->host transfer for all outputs (fetching the ~20
