@@ -79,45 +79,53 @@ def locate_objects(points, errors, valid,
     eye = jnp.eye(N, dtype=bool)
     cand = cand & ~eye[None, :, :]
 
-    def body(i, carry):
-        consumed, out_pos, out_heading, out_err, out_idx, out_valid = carry
-        row = cand[i] & valid[i] & ~consumed[i]      # (N, N)
-        flat = row.reshape(-1)
-        hit = jnp.any(flat)
-        jk = jnp.argmax(flat)                        # first True (row-major)
-        j = jk // N
-        k = jk % N
+    # The greedy pass is only sequential through the consumed-ROOT test: a
+    # root's first-hit (j, k) pair is chosen from cand[i] alone (consumed
+    # markers are not excluded from arm pairs — reference semantics,
+    # helpers.py:440-448), so every per-root quantity vectorises; the scan
+    # below carries nothing but the consumed mask, with a ~3-op body that
+    # XLA fully unrolls into one fusion (a fori_loop of gathers/scatters
+    # here cost 0.34 ms/frame on TPU — 60% of the whole pipeline step).
+    flat = cand.reshape(N, N * N)
+    hit0 = jnp.any(flat, axis=1) & valid             # root has a candidate
+    jk = jnp.argmax(flat, axis=1)                    # first True (row-major)
+    j = jk // N
+    k = jk % N
 
-        pj = points[j]
-        pk = points[k]
-        loc = (pj + pk) / 2.0
-        hv = pj - pk
-        hv = hv / jnp.maximum(jnp.linalg.norm(hv), 1e-12)
-        heading = jnp.arctan2(hv[ax_h2], hv[ax_h1])
-        heading = jnp.where(heading > jnp.pi / 2, heading - jnp.pi, heading)
-        heading = jnp.where(heading < -jnp.pi / 2, heading + jnp.pi, heading)
-        err = (errors[i] + errors[j] + errors[k]) / 3.0
-        side = (points[i] - loc)[ax_h2]
-        drone_idx = jnp.where(side > 0, 0, 1)
-        hit = hit & (jnp.abs(side) >= side_min)
+    pj = points[j]                                   # (N, 3)
+    pk = points[k]
+    loc = (pj + pk) / 2.0
+    hv = pj - pk
+    hv = hv / jnp.maximum(
+        jnp.linalg.norm(hv, axis=-1, keepdims=True), 1e-12)
+    heading = jnp.arctan2(hv[:, ax_h2], hv[:, ax_h1])
+    heading = jnp.where(heading > jnp.pi / 2, heading - jnp.pi, heading)
+    heading = jnp.where(heading < -jnp.pi / 2, heading + jnp.pi, heading)
+    err = (errors + errors[j] + errors[k]) / 3.0
+    side = (points - loc)[:, ax_h2]
+    drone_idx = jnp.where(side > 0, 0, 1).astype(jnp.int32)
+    hit0 = hit0 & (jnp.abs(side) >= side_min)
 
-        consumed = consumed.at[i].set(consumed[i] | hit)
-        consumed = consumed.at[j].set(consumed[j] | hit)
-        consumed = consumed.at[k].set(consumed[k] | hit)
-        out_pos = out_pos.at[i].set(jnp.where(hit, loc, 0.0))
-        out_heading = out_heading.at[i].set(jnp.where(hit, -heading, 0.0))
-        out_err = out_err.at[i].set(jnp.where(hit, err, jnp.inf))
-        out_idx = out_idx.at[i].set(jnp.where(hit, drone_idx, -1))
-        out_valid = out_valid.at[i].set(hit)
-        return consumed, out_pos, out_heading, out_err, out_idx, out_valid
+    iN = jnp.arange(N)
+    # rows of markers each accepted triple consumes: {i, j_i, k_i}
+    triple_mask = ((iN[None, :] == iN[:, None])
+                   | (iN[None, :] == j[:, None])
+                   | (iN[None, :] == k[:, None]))    # (N, N)
+    onehot = jnp.eye(N, dtype=bool)
 
-    init = (
-        jnp.zeros((N,), bool),
-        jnp.zeros((N, 3), points.dtype),
-        jnp.zeros((N,), points.dtype),
-        jnp.full((N,), jnp.inf, points.dtype),
-        jnp.full((N,), -1, jnp.int32),
-        jnp.zeros((N,), bool),
+    def body(consumed, x):
+        h0, tm, oh = x
+        take = h0 & ~jnp.any(consumed & oh)          # root not yet consumed
+        return consumed | (take & tm), take
+
+    _, accept = jax.lax.scan(body, jnp.zeros((N,), bool),
+                             (hit0, triple_mask, onehot), unroll=True)
+
+    dtype = points.dtype
+    return LocatedObjects(
+        pos=jnp.where(accept[:, None], loc, 0.0).astype(dtype),
+        heading=jnp.where(accept, -heading, 0.0).astype(dtype),
+        error=jnp.where(accept, err, jnp.inf).astype(dtype),
+        index=jnp.where(accept, drone_idx, -1),
+        valid=accept,
     )
-    _, pos, heading, err, idx, ok = jax.lax.fori_loop(0, N, body, init)
-    return LocatedObjects(pos, heading, err, idx, ok)
