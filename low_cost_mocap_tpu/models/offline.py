@@ -33,25 +33,60 @@ class SequenceResult(NamedTuple):
 
 
 def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
-                      cfg: EngineConfig, dts=None, packed: bool = False):
+                      cfg: EngineConfig, dts=None, packed: bool = False,
+                      sparse: bool = False, chunk: int = 32,
+                      use_pallas: bool | None = None):
     """Run a full recording through vision + tracking in one jit.
 
-    frames_seq: (T, C, H, W) uint8 (or (T, C, H, W//8) when ``packed``).
+    frames_seq: (T, C, H, W) uint8, (T, C, H, W//8) when ``packed``, or
+    (T, budget) int32 lit-pixel indices when ``sparse`` (the minimal-ingest
+    encoding of ``ops.detect.sparse_ingest`` — 26 MB of packed bitmaps for a
+    512-frame 4-cam recording become 4 MB of indices, and recording
+    transfer, not compute, bounds end-to-end offline throughput on
+    tunneled links).
     dts: (T,) frame intervals (default: 1/target_fps).
+    chunk: vision processes the recording ``chunk`` frame-sets at a time
+    (``lax.map`` over vmapped chunks) — a full-recording vmap materialises
+    the whole (T, C, H, W) float tensor through every detector sweep and
+    becomes HBM-bandwidth-bound; chunking keeps the working set resident.
     """
+    import jax as _jax
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() not in ("cpu",)
     T = frames_seq.shape[0]
     if dts is None:
         dts = jnp.full((T,), 1.0 / cfg.target_fps, jnp.float32)
+    run = _compiled_run(rig, cfg, bool(packed), bool(sparse), int(chunk),
+                        bool(use_pallas))
+    return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
 
-    def vision(frames):
-        if packed:
+
+@functools.lru_cache(maxsize=16)
+def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
+                  sparse: bool, chunk: int, use_pallas: bool):
+    """Cache the compiled sequence program per (rig, cfg, mode) — building
+    the jit inline made every call retrace AND recompile."""
+
+    def vision(frames, Ps, K, dist, to_world_matrix):
+        if sparse:
+            f = detect.scatter_pixels(
+                frames, (rig.num_cameras, rig.image_size, rig.image_size))
+            thr = 0.5
+        elif packed:
             f = detect.unpack_bits(frames)
             thr = 0.5
         else:
             f = frames.astype(jnp.float32) * (1.0 / 255.0)
             thr = cfg.detect_threshold
-        blobs, bvalid, _ = detect.find_blobs_multi(
-            f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+        if use_pallas:
+            from low_cost_mocap_tpu.ops.detect_pallas import find_blobs_pallas
+
+            blobs, bvalid, _ = find_blobs_pallas(
+                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+        else:
+            blobs, bvalid, _ = detect.find_blobs_multi(
+                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
         blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
         blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
         m = correspond.match_points(blobs_u, bvalid, Ps,
@@ -68,8 +103,16 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
         return pts_w, m["valid"], m["errors"], loc
 
     @jax.jit
-    def run(frames_seq, dts):
-        pts_w, pvalid, perr, loc = jax.vmap(vision)(frames_seq)
+    def run(frames_seq, dts, Ps, K, dist, to_world_matrix):
+        T = frames_seq.shape[0]
+        v = functools.partial(vision, Ps=Ps, K=K, dist=dist,
+                              to_world_matrix=to_world_matrix)
+        c = chunk if T % chunk == 0 else 1
+        shaped = frames_seq.reshape(T // c, c, *frames_seq.shape[1:])
+        pts_w, pvalid, perr, loc = jax.lax.map(jax.vmap(v), shaped)
+        (pts_w, pvalid, perr, loc) = jax.tree.map(
+            lambda x: x.reshape(T, *x.shape[2:]),
+            (pts_w, pvalid, perr, loc))
         st0 = kalman.init_state(rig.num_objects)
 
         def track_step(st, inp):
@@ -82,4 +125,4 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
             (loc.pos, loc.heading, loc.index, loc.valid, dts))
         return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid, tracked)
 
-    return run(frames_seq, dts)
+    return run

@@ -84,6 +84,22 @@ def _lm_sharded(pts, mask, K_stack, p0, *, num_cameras: int, max_iters: int,
     return p, cost, jnp.sum(accepts)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_dist(mesh: Mesh, axis: str, num_cameras: int, max_iters: int,
+                   ftol: float, cauchy_c: float, mode: str):
+    """Cache the jitted shard_mapped solver per (mesh, config) — see
+    ``schur_ba._compiled_schur`` for why (inline jit retraces per call)."""
+    fn = functools.partial(
+        _lm_sharded, num_cameras=num_cameras, max_iters=max_iters,
+        ftol=ftol, cauchy_c=cauchy_c, mode=mode, axis=axis)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+
+
 def dist_bundle_adjust(mesh: Mesh, pts, mask, K_stack, Rs0, ts0, *,
                        axis: str = "point", max_iters: int = 64,
                        ftol: float = 1e-2, cauchy_c: float = 1.0,
@@ -96,19 +112,10 @@ def dist_bundle_adjust(mesh: Mesh, pts, mask, K_stack, Rs0, ts0, *,
     num_cameras = pts.shape[1]
     p0 = ba_ops.pack_params(Rs0, ts0, K_stack[:, 0, 0])
 
-    fn = functools.partial(
-        _lm_sharded, num_cameras=num_cameras, max_iters=max_iters,
-        ftol=ftol, cauchy_c=cauchy_c, mode=mode, axis=axis)
-
-    sharded = shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-
+    sharded = _compiled_dist(mesh, axis, num_cameras, max_iters, ftol,
+                             cauchy_c, mode)
     pts_s = jax.device_put(pts, NamedSharding(mesh, P(axis)))
     mask_s = jax.device_put(mask, NamedSharding(mesh, P(axis)))
-    p, cost, iters = jax.jit(sharded)(pts_s, mask_s, K_stack, p0)
+    p, cost, iters = sharded(pts_s, mask_s, K_stack, p0)
     Rs, ts, focals = ba_ops.unpack_params(p, num_cameras)
     return ba_ops.BAResult(Rs, ts, focals, cost, iters)

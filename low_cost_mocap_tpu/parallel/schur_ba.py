@@ -132,6 +132,25 @@ def _lm_schur(pts_obs, mask, K_stack, p0, X0, *, num_cameras, max_iters,
     return cam_p, X, cost, jnp.sum(accepts)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_schur(mesh: Mesh, axis: str, num_cameras: int, max_iters: int,
+                    ftol: float, cauchy_c: float):
+    """Cache the jitted shard_mapped solver per (mesh, config).
+
+    Rebuilding jit(shard_map(...)) inline made every call retrace and
+    recompile — 0.5 s/call on the tunneled TPU even for tiny problems; the
+    jit executable cache only helps when the callable object is reused.
+    """
+    fn = functools.partial(_lm_schur, num_cameras=num_cameras,
+                           max_iters=max_iters, ftol=ftol,
+                           cauchy_c=cauchy_c, axis=axis)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(axis)),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False))
+
+
 def schur_bundle_adjust(mesh: Mesh, pts, mask, K_stack, Rs0, ts0, *,
                         axis: str = "point", max_iters: int = 64,
                         ftol: float = 1e-2, cauchy_c: float = 1.0
@@ -147,17 +166,10 @@ def schur_bundle_adjust(mesh: Mesh, pts, mask, K_stack, Rs0, ts0, *,
     Ps0 = projection_matrix(K_stack, Rs0, ts0)
     X0, _ = tri.triangulate_points(pts, Ps0, mask)
 
-    fn = functools.partial(_lm_schur, num_cameras=num_cameras,
-                           max_iters=max_iters, ftol=ftol,
-                           cauchy_c=cauchy_c, axis=axis)
-    sharded = shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(axis)),
-        out_specs=(P(), P(axis), P(), P()),
-        check_vma=False)
-
+    sharded = _compiled_schur(mesh, axis, num_cameras, max_iters, ftol,
+                              cauchy_c)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    cam_p, X, cost, iters = jax.jit(sharded)(
+    cam_p, X, cost, iters = sharded(
         put(pts, P(axis)), put(mask, P(axis)), K_stack, p0, put(X0, P(axis)))
     Rs, ts, focals = ba_ops.unpack_params(cam_p, num_cameras)
     return SchurBAResult(Rs, ts, focals, X, cost, iters)

@@ -50,20 +50,12 @@ def _filtfilt_block(x, b, a):
     return y
 
 
-def smooth_sharded(mesh: Mesh, tracks, halo: int, axis: str = "time",
-                   order: int = 5, cutoff_hz: float = 20.0,
-                   sample_hz: float = 60.0):
-    """Block-parallel zero-phase smoothing of (T, D) tracks with halos.
-
-    Matches the sequential ``filtfilt``-style smoother away from block
-    edges; ``halo`` controls the approximation (32 is plenty for the
-    reference's order-5 / 20 Hz-at-60 Hz design,
-    ``computer_code/api/KalmanFilter.py:45-47``).
-    """
+@functools.lru_cache(maxsize=32)
+def _compiled_smooth(mesh: Mesh, axis: str, halo: int, order: int,
+                     cutoff_hz: float, sample_hz: float):
+    """Cache the jitted shard_mapped smoother (inline jit retraces/call)."""
     b, a = lowpass.butter_coeffs(order, cutoff_hz, sample_hz)
     n_dev = mesh.shape[axis]
-    T = tracks.shape[0]
-    assert T % n_dev == 0, (T, n_dev)
 
     def block_fn(x):
         # x: (T/n, D) local block
@@ -87,8 +79,25 @@ def smooth_sharded(mesh: Mesh, tracks, halo: int, axis: str = "time",
 
     fn = shard_map(block_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                    check_vma=False)
+    return jax.jit(fn)
+
+
+def smooth_sharded(mesh: Mesh, tracks, halo: int, axis: str = "time",
+                   order: int = 5, cutoff_hz: float = 20.0,
+                   sample_hz: float = 60.0):
+    """Block-parallel zero-phase smoothing of (T, D) tracks with halos.
+
+    Matches the sequential ``filtfilt``-style smoother away from block
+    edges; ``halo`` controls the approximation (32 is plenty for the
+    reference's order-5 / 20 Hz-at-60 Hz design,
+    ``computer_code/api/KalmanFilter.py:45-47``).
+    """
+    n_dev = mesh.shape[axis]
+    T = tracks.shape[0]
+    assert T % n_dev == 0, (T, n_dev)
+    fn = _compiled_smooth(mesh, axis, halo, order, cutoff_hz, sample_hz)
     tracks_s = jax.device_put(tracks, NamedSharding(mesh, P(axis)))
-    return jax.jit(fn)(tracks_s)
+    return fn(tracks_s)
 
 
 def smooth_reference(tracks, order: int = 5, cutoff_hz: float = 20.0,

@@ -119,3 +119,44 @@ def test_reference_mode_ba_runs():
                                jnp.asarray(ts), num_cameras=3, max_iters=5,
                                mode="reference")
     assert np.isfinite(float(res.cost))
+
+
+def test_offline_sparse_mode_matches_dense():
+    """process_recording(sparse=True) must equal the raw-frames path."""
+    import jax.numpy as jnp
+    from low_cost_mocap_tpu.config import RigConfig
+    from low_cost_mocap_tpu.models import offline
+    from low_cost_mocap_tpu.ops import camera as cam_ops
+    from low_cost_mocap_tpu.ops.detect import sparse_ingest
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    cfg = EngineConfig()
+    rng = np.random.default_rng(11)
+    X0 = syn.random_points(rng, 6)
+    T = 12
+    frames = []
+    for t in range(T):
+        X = X0 + 0.05 * np.sin(2 * np.pi * t / T + np.arange(6)[:, None])
+        pts, mask = syn.observe(X.astype(np.float32), Rs, ts, rig)
+        frames.append(syn.render_frames(pts, mask, rig.image_size, sigma=0.8))
+    frames_u8 = (np.stack(frames) * 255).astype(np.uint8)
+    enc = [sparse_ingest(f, cfg.detect_threshold, cfg.sparse_budget)
+           for f in frames_u8]
+    assert all(ok for _, ok, _ in enc)
+    idx_seq = np.stack([i for i, _, _ in enc])
+
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    M = jnp.eye(4, dtype=jnp.float32)
+
+    dense = offline.process_recording(jnp.asarray(frames_u8), Ps, K, dist, M,
+                                      rig, cfg, chunk=3)
+    sparse = offline.process_recording(jnp.asarray(idx_seq), Ps, K, dist, M,
+                                       rig, cfg, sparse=True, chunk=4)
+    np.testing.assert_array_equal(np.asarray(dense.point_valid),
+                                  np.asarray(sparse.point_valid))
+    np.testing.assert_allclose(np.asarray(dense.object_points),
+                               np.asarray(sparse.object_points), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense.tracked.pos),
+                               np.asarray(sparse.tracked.pos), atol=1e-5)
