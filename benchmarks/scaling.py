@@ -22,9 +22,13 @@ Usage: python benchmarks/scaling.py [--tpu] [--invariance] [--comms]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _scene(n_pts: int, n_cams: int, seed: int = 0):

@@ -1,0 +1,200 @@
+"""Real multi-process execution of the distributed solvers.
+
+The virtual 8-device mesh (``tests/conftest.py``) validates sharding
+*semantics* inside one process; this module runs the same solvers across
+separate OS processes joined through ``jax.distributed`` — each process
+owns a slice of the global device mesh and collectives cross a real
+process boundary (Gloo over localhost TCP here; the same program shape
+rides ICI/DCN on a TPU pod, SURVEY.md §5 "distributed communication
+backend").  The reference has no analogue: it is a single Python process
+(``computer_code/api/index.py:39-59``).
+
+Two halves:
+
+- ``worker_main()`` — the per-process program (also ``python -m
+  low_cost_mocap_tpu.parallel.multiprocess``): joins the cluster, builds
+  the deterministic synthetic scene, runs a distributed bundle adjustment
+  over the global ``point`` mesh, and writes a JSON result file.
+- ``run_cluster()`` — host-side launcher used by tests and
+  ``benchmarks/multiprocess_ba.py``: spawns N workers, waits, and returns
+  their parsed results.
+
+The launcher never imports jax, so it is safe to call from pytest without
+disturbing the calling process's backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+# --------------------------------------------------------------- worker
+
+def _build_scene(n_points: int, n_cams: int, seed: int = 0):
+    """Deterministic synthetic rig + camera-0-gauge initial poses.
+
+    Every process builds the identical scene from the seed — the mocap
+    analogue of each host loading the same shard-able dataset.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from low_cost_mocap_tpu.utils import synthetic as syn
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=n_cams)
+    rng = np.random.default_rng(seed)
+    X = syn.random_points(rng, n_points)
+    pts, mask = syn.observe(X, Rs, ts, rig, noise_px=0.3, rng=rng)
+    R0, t0 = Rs[0].copy(), ts[0].copy()
+    Rs_g = np.einsum("cij,jk->cik", Rs, R0.T).astype(np.float32)
+    ts_g = (ts - np.einsum("cij,j->ci", Rs_g, t0)).astype(np.float32)
+    return (jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(rig.K_stack()),
+            jnp.asarray(Rs_g), jnp.asarray(ts_g))
+
+
+def worker_main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port; omit for a single-process reference run")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-points", type=int, default=512)
+    ap.add_argument("--n-cams", type=int, default=4)
+    ap.add_argument("--max-iters", type=int, default=8)
+    ap.add_argument("--solver", choices=("schur", "reference"),
+                    default="schur")
+    args = ap.parse_args(argv)
+
+    # Backend setup must precede every other jax call: the environment's
+    # sitecustomize pins JAX_PLATFORMS to the tunneled TPU, and the CPU
+    # collectives implementation is latched at backend initialisation.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if args.coordinator is not None:
+        jax.distributed.initialize(args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
+
+    import numpy as np
+
+    from low_cost_mocap_tpu.parallel import mesh as mesh_lib
+
+    pts, mask, K, Rs0, ts0 = _build_scene(args.n_points, args.n_cams)
+    mesh = mesh_lib.make_mesh({"point": jax.device_count()})
+
+    if args.solver == "schur":
+        from low_cost_mocap_tpu.parallel.schur_ba import schur_bundle_adjust
+
+        def solve():
+            return schur_bundle_adjust(mesh, pts, mask, K, Rs0, ts0,
+                                       max_iters=args.max_iters, ftol=0.0)
+    else:
+        from low_cost_mocap_tpu.parallel.dist_ba import dist_bundle_adjust
+
+        def solve():
+            return dist_bundle_adjust(mesh, pts, mask, K, Rs0, ts0,
+                                      max_iters=args.max_iters, ftol=0.0)
+
+    res = solve()          # compile + solve
+    jax.block_until_ready(res.cost)
+    t0 = time.perf_counter()
+    res = solve()          # timed warm run
+    jax.block_until_ready(res.cost)
+    wall = time.perf_counter() - t0
+
+    out = {
+        "process_id": args.process_id,
+        "num_processes": args.num_processes,
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "solver": args.solver,
+        "cost": float(res.cost),
+        "ts": np.asarray(res.ts).tolist(),
+        "wall_s": wall,
+        "ms_per_iter": wall / args.max_iters * 1e3,
+    }
+    tmp = args.out + f".tmp{args.process_id}"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, args.out)
+
+
+# -------------------------------------------------------------- launcher
+
+def run_cluster(num_processes: int, local_devices: int = 1, *,
+                n_points: int = 512, n_cams: int = 4, max_iters: int = 8,
+                solver: str = "schur", timeout_s: float = 600.0
+                ) -> list[dict]:
+    """Spawn a real multi-process cluster; return each process's result.
+
+    ``num_processes == 1`` runs a plain single-process worker (the
+    reference solution for invariance checks).
+    """
+    with tempfile.TemporaryDirectory(prefix="lcm_mp_") as tmpdir:
+        coord = (f"localhost:{_free_port()}" if num_processes > 1 else None)
+        procs = []
+        outs = []
+        env = dict(os.environ)
+        kept = [f for f in env.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in f]
+        env["XLA_FLAGS"] = " ".join(
+            kept + [f"--xla_force_host_platform_device_count={local_devices}"])
+        # keep worker BLAS/XLA threading modest: workers timeshare the host
+        env.setdefault("OPENBLAS_NUM_THREADS", "1")
+        for pid in range(num_processes):
+            out = os.path.join(tmpdir, f"result_{pid}.json")
+            outs.append(out)
+            cmd = [sys.executable, "-m",
+                   "low_cost_mocap_tpu.parallel.multiprocess",
+                   "--out", out, "--n-points", str(n_points),
+                   "--n-cams", str(n_cams), "--max-iters", str(max_iters),
+                   "--solver", solver]
+            if coord is not None:
+                cmd += ["--coordinator", coord,
+                        "--num-processes", str(num_processes),
+                        "--process-id", str(pid)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE))
+        deadline = time.monotonic() + timeout_s
+        errs = []
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=max(1.0,
+                                                   deadline - time.monotonic()))
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise RuntimeError(
+                    f"multiprocess worker timed out after {timeout_s}s")
+            errs.append(err.decode(errors="replace"))
+        for p, err in zip(procs, errs):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker exited {p.returncode}:\n{err[-2000:]}")
+        results = []
+        for out in outs:
+            with open(out) as f:
+                results.append(json.load(f))
+        return results
+
+
+if __name__ == "__main__":
+    worker_main()

@@ -1,0 +1,35 @@
+"""Distributed BA across REAL process boundaries.
+
+The rest of the suite shards over a virtual in-process mesh; here the
+solver runs on a 2-process x 2-device cluster joined via jax.distributed
+(Gloo collectives over localhost TCP) and must reproduce the
+single-process solution — the CPU stand-in for multi-host DCN execution
+(SURVEY.md §2.4, BASELINE.json "scaling measured at ... >=2 hosts").
+"""
+
+import numpy as np
+import pytest
+
+from low_cost_mocap_tpu.parallel.multiprocess import run_cluster
+
+SCENE = dict(n_points=256, n_cams=4, max_iters=6)
+
+
+@pytest.mark.slow
+def test_two_process_schur_ba_matches_single_process():
+    ref = run_cluster(1, local_devices=1, solver="schur", **SCENE)[0]
+    dist = run_cluster(2, local_devices=2, solver="schur", **SCENE)
+
+    # every process reports the same replicated solution
+    assert dist[0]["global_devices"] == 4
+    assert dist[0]["cost"] == pytest.approx(dist[1]["cost"], rel=0, abs=0)
+    assert np.asarray(dist[0]["ts"]) == pytest.approx(
+        np.asarray(dist[1]["ts"]), abs=0)
+
+    # and it agrees with the 1-process solve (free-point BA with camera-0
+    # fixed leaves the scale gauge free -> compare after scale alignment)
+    t_ref = np.asarray(ref["ts"])
+    t_d = np.asarray(dist[0]["ts"])
+    s = float((t_d * t_ref).sum() / max((t_d * t_d).sum(), 1e-12))
+    assert np.abs(s * t_d - t_ref).max() < 1e-3
+    assert abs(dist[0]["cost"] - ref["cost"]) / ref["cost"] < 1e-4
