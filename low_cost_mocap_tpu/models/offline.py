@@ -30,12 +30,15 @@ class SequenceResult(NamedTuple):
     objects_pos: jnp.ndarray    # (T, N, 3) raw rigid-body fits
     objects_valid: jnp.ndarray  # (T, N)
     tracked: kalman.TrackedObjects  # (T, O, ...) smoothed drone tracks
+    bodies: object = None       # LocatedBodies (T, I, ...) when a
+    #                             body_template was passed (6-DoF fits)
 
 
 def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
                       cfg: EngineConfig, dts=None, packed: bool = False,
                       sparse: bool = False, chunk: int = 32,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      body_template=None, max_bodies: int = 2):
     """Run a full recording through vision + tracking in one jit.
 
     frames_seq: (T, C, H, W) uint8, (T, C, H, W//8) when ``packed``, or
@@ -49,6 +52,9 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     (``lax.map`` over vmapped chunks) — a full-recording vmap materialises
     the whole (T, C, H, W) float tensor through every detector sweep and
     becomes HBM-bandwidth-bound; chunking keeps the working set resident.
+    body_template: a ``ops.rigid_general.BodyTemplate`` — when given, up to
+    ``max_bodies`` instances are 6-DoF-fit per frame (``SequenceResult
+    .bodies``), alongside the reference-style drone-triple tracking.
     """
     import jax as _jax
 
@@ -58,13 +64,14 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     if dts is None:
         dts = jnp.full((T,), 1.0 / cfg.target_fps, jnp.float32)
     run = _compiled_run(rig, cfg, bool(packed), bool(sparse), int(chunk),
-                        bool(use_pallas))
+                        bool(use_pallas), body_template, int(max_bodies))
     return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
-                  sparse: bool, chunk: int, use_pallas: bool):
+                  sparse: bool, chunk: int, use_pallas: bool,
+                  body_template=None, max_bodies: int = 2):
     """Cache the compiled sequence program per (rig, cfg, mode) — building
     the jit inline made every call retrace AND recompile."""
 
@@ -100,7 +107,14 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                                    tol=rig.marker_dist_tol,
                                    side_min=rig.marker_side_min,
                                    ax_h1=0, ax_h2=2)
-        return pts_w, m["valid"], m["errors"], loc
+        if body_template is not None:
+            from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
+
+            bodies = locate_bodies(pts_w, m["valid"], body_template,
+                                   max_instances=max_bodies)
+        else:
+            bodies = None
+        return pts_w, m["valid"], m["errors"], loc, bodies
 
     @jax.jit
     def run(frames_seq, dts, Ps, K, dist, to_world_matrix):
@@ -109,10 +123,10 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                               to_world_matrix=to_world_matrix)
         c = chunk if T % chunk == 0 else 1
         shaped = frames_seq.reshape(T // c, c, *frames_seq.shape[1:])
-        pts_w, pvalid, perr, loc = jax.lax.map(jax.vmap(v), shaped)
-        (pts_w, pvalid, perr, loc) = jax.tree.map(
+        pts_w, pvalid, perr, loc, bodies = jax.lax.map(jax.vmap(v), shaped)
+        (pts_w, pvalid, perr, loc, bodies) = jax.tree.map(
             lambda x: x.reshape(T, *x.shape[2:]),
-            (pts_w, pvalid, perr, loc))
+            (pts_w, pvalid, perr, loc, bodies))
         st0 = kalman.init_state(rig.num_objects)
 
         def track_step(st, inp):
@@ -123,6 +137,7 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
         _, tracked = jax.lax.scan(
             track_step, st0,
             (loc.pos, loc.heading, loc.index, loc.valid, dts))
-        return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid, tracked)
+        return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid,
+                              tracked, bodies)
 
     return run

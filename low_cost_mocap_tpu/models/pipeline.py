@@ -15,9 +15,11 @@ is a single pure function of (tracker state, frames, dt), jit-compiled once
 (static shapes everywhere: fixed camera count, fixed blob/track budgets) and
 re-dispatched at camera rate with zero recompilation.  The reference's mode
 flags (``is_capturing_points`` / ``is_triangulating_points`` /
-``is_locating_objects``, ``computer_code/api/helpers.py:28-33``) become
-static compile-time stages — the runtime picks one of three compiled
-programs instead of branching per frame.
+``is_locating_objects``, ``computer_code/api/helpers.py:28-33``) stay
+host-side: the runtime always dispatches the same compiled program and the
+flags only select which *outputs* to emit, so toggling modes never
+recompiles (full-chain device cost is ~0.2 ms/frame — cheaper than a
+second executable's compile + swap).
 """
 
 from __future__ import annotations
@@ -104,9 +106,8 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
 class MocapPipeline:
     """Holds rig geometry + compiled per-frame steps.
 
-    stage: "capture" (blobs only), "triangulate" (+ correspondence/world),
-    "locate" (+ rigid fit + Kalman) — mirroring the reference's three mode
-    flags (``computer_code/api/helpers.py:84-110``).
+    The full chain always runs (the engine's mode flags pick which outputs
+    to emit, ``runtime/engine.py``).
     """
 
     def __init__(self, rig: RigConfig, engine: EngineConfig,
@@ -139,7 +140,6 @@ class MocapPipeline:
                 marker_tol=rig.marker_dist_tol,
                 marker_side_min=rig.marker_side_min,
                 do_preprocess=preprocess_frames,
-                stage="locate",
             ),
             static_argnames=(),
             donate_argnums=(0,),
@@ -159,7 +159,7 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                gate_px: float, max_candidates: int,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
                marker_side_min: float,
-               do_preprocess: bool, stage: str, packed_input: bool = False,
+               do_preprocess: bool, packed_input: bool = False,
                sparse_input: bool = False,
                image_shape: tuple[int, int, int] | None = None,
                use_pallas: bool = False):

@@ -109,6 +109,41 @@ def _combo_table(num_later: int, n_opt: int, h_max: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _hypothesis_tables(C: int, n_opt: int):
+    """Static tables driving the all-roots one-hot formulation.
+
+    For root camera ``rc``, hypothesis ``h``, camera ``b``:
+      - ``self_tab`` (C, H, C) bool: b == rc (the root's own observation);
+      - ``use_tab`` (C, H, C) bool: b > rc and the combo picks a candidate
+        (vs "missing", reference ``helpers.py:387-389``);
+      - ``onehot_rank`` (C, H, C, R) f32: one-hot of the candidate rank the
+        combo picks (all-zero when missing/self) — hypothesis observations
+        are *contracted* out of the candidate tensor with this instead of
+        gathered (TPU gathers are row-serial; a tiny einsum is pure VPU).
+      - rows beyond rc's real combo count are all-missing padding
+        (harmless duplicates; argmin tie-breaks to the first).
+    Hypothesis order per root camera is exactly ``_combo_table``'s
+    (itertools.product), preserving the reference's tie-break order.
+    """
+    H = n_opt ** (C - 1)
+    R = n_opt - 1
+    onehot = np.zeros((C, H, C, R), np.float32)
+    use_tab = np.zeros((C, H, C), bool)
+    self_tab = np.zeros((C, H, C), bool)
+    for rc in range(C):
+        self_tab[rc, :, rc] = True
+        later = list(range(rc + 1, C))
+        combos = _combo_table(len(later), n_opt, H)
+        for li, b in enumerate(later):
+            choice = combos[:, li]
+            miss = choice == n_opt - 1
+            use_tab[rc, :, b] = ~miss
+            rank = np.minimum(choice, R - 1)
+            onehot[rc, np.arange(H), b, rank] = (~miss).astype(np.float32)
+    return onehot, use_tab, self_tab
+
+
 def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
                  dedupe_eps: float = 0.02, mode: str = "auto",
                  beam_width: int = 0, miss_penalty_px: float = -1.0):
@@ -167,80 +202,102 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     neg_top, cand_idx = jax.lax.top_k(-d_masked, max_candidates)
     cand_valid = jnp.isfinite(-neg_top)                     # (C, K, C, R)
 
+    if mode == "exact":
+        # All roots x all hypotheses evaluated at once: pre-gather the tiny
+        # (C, K, C, R) candidate-observation tensor, then *contract* each
+        # hypothesis's observations out of it with a static one-hot table
+        # and run ONE batched DLT over every (root, hypothesis).  No Python
+        # loop over root cameras, no scatters, and no large gathers (TPU
+        # gathers are row-serial; these einsums are pure VPU work).
+        H = n_opt ** (C - 1)
+        onehot_np, use_np, self_np = _hypothesis_tables(C, n_opt)
+        onehot = jnp.asarray(onehot_np)                     # (C, H, C, R)
+        use_tab = jnp.asarray(use_np)                       # (C, H, C)
+        self_tab = jnp.asarray(self_np)
+
+        # candidate observations: obs_cand[a, k, b, r] = pts[b, cand_idx[a,k,b,r]]
+        b_idx = jnp.arange(C)[None, None, :, None]
+        obs_cand = pts[b_idx, cand_idx]                     # (C, K, C, R, 2)
+
+        # hypothesis selections via one-hot contraction
+        obs = jnp.einsum("ahbr,akbrx->akhbx", onehot, obs_cand)
+        cv_miss = jnp.einsum("ahbr,akbr->akhb", onehot,
+                             (~cand_valid).astype(onehot.dtype))
+        sel = jnp.where(self_tab[:, None, :, :, None],
+                        pts[:, :, None, None, :], obs)      # (C, K, H, C, 2)
+        msk = jnp.broadcast_to((self_tab | use_tab)[:, None], (C, K, H, C))
+        ok = jnp.sum(cv_miss, axis=-1) < 0.5                # (C, K, H)
+
+        sel_f = sel.reshape(C * K * H, C, 2)
+        msk_f = msk.reshape(C * K * H, C)
+        X, _ = tri.triangulate_points(sel_f, Ps, msk_f)     # (CKH, 3)
+        err = tri.reprojection_errors(sel_f, X, Ps, msk_f)
+        X = X.reshape(C, K, H, 3)
+        err = jnp.where(ok, err.reshape(C, K, H), _INF)
+
+        # selection score with per-root-camera miss penalty
+        n_vis = jnp.sum(msk, axis=-1).astype(err.dtype)     # (C, K, H)
+        n_later = jnp.asarray([float(C - rc - 1) for rc in range(C)],
+                              err.dtype)[:, None, None]
+        n_miss = jnp.maximum(n_later - (n_vis - 1.0), 0.0)
+        score = (err * n_vis + n_miss * tau2) / jnp.maximum(
+            n_vis + n_miss, 1.0)
+        score = jnp.where(ok, score, _INF)
+
+        best = jnp.argmin(score, axis=-1)                   # (C, K)
+        object_points = jnp.take_along_axis(
+            X, best[:, :, None, None], axis=2).squeeze(2).reshape(C * K, 3)
+        errors = jnp.take_along_axis(
+            err, best[:, :, None], axis=2).squeeze(2).reshape(C * K)
+        ok = jnp.isfinite(errors) & root_mask.reshape(C * K)
+        errors = jnp.where(ok, errors, _INF)
+        return _finalize(object_points, errors, ok, dedupe_eps)
+
     out_pts, out_err, out_ok = [], [], []
     for rc in range(C):
         later = list(range(rc + 1, C))
+        B = beam_width
+        choice_vec = jnp.arange(n_opt)
 
-        if mode == "exact":
-            h_max = n_opt ** (C - 1)
-            combos = jnp.asarray(_combo_table(len(later), n_opt, h_max))
-
-            def per_root(k, combos=combos, later=later, rc=rc, h_max=h_max):
-                # selected observation per hypothesis per camera
-                sel = jnp.zeros((h_max, C, 2), pts.dtype)
-                msk = jnp.zeros((h_max, C), bool)
-                ok = jnp.ones((h_max,), bool)
-                # own camera: always the root point itself
-                sel = sel.at[:, rc].set(pts[rc, k])
-                msk = msk.at[:, rc].set(True)
-                for li, b in enumerate(later):
-                    choice = combos[:, li]                   # (H,)
-                    is_miss = choice == n_opt - 1
-                    rank = jnp.minimum(choice, max_candidates - 1)
-                    j = cand_idx[rc, k, b, rank]             # (H,)
-                    cv = cand_valid[rc, k, b, rank]
-                    sel = sel.at[:, b].set(pts[b, j])
-                    msk = msk.at[:, b].set(~is_miss)
-                    ok = ok & (is_miss | cv)
-                X, _ = tri.triangulate_points(sel, Ps, msk)
-                err = tri.reprojection_errors(sel, X, Ps, msk)
-                err = jnp.where(ok, err, _INF)
-                score = jnp.where(ok, selection_score(err, msk, rc), _INF)
-                best = jnp.argmin(score)
-                return X[best], err[best], jnp.isfinite(err[best])
-        else:
-            B = beam_width
-            choice_vec = jnp.arange(n_opt)
-
-            def per_root(k, later=later, rc=rc, B=B):
-                sel = jnp.zeros((B, C, 2), pts.dtype)
-                msk = jnp.zeros((B, C), bool)
-                ok = jnp.zeros((B,), bool).at[0].set(True)  # one live seed
-                sel = sel.at[:, rc].set(pts[rc, k])
-                msk = msk.at[:, rc].set(True)
-                for b in later:
-                    is_miss = choice_vec == n_opt - 1        # (n_opt,)
-                    rank = jnp.minimum(choice_vec, max_candidates - 1)
-                    j = cand_idx[rc, k, b, rank]             # (n_opt,)
-                    cv = cand_valid[rc, k, b, rank]
-                    # expand: (B, n_opt, ...) then flatten
-                    sel_e = jnp.broadcast_to(sel[:, None], (B, n_opt, C, 2))
-                    sel_e = sel_e.at[:, :, b].set(
-                        jnp.broadcast_to(pts[b, j], (B, n_opt, 2)))
-                    msk_e = jnp.broadcast_to(msk[:, None], (B, n_opt, C))
-                    msk_e = msk_e.at[:, :, b].set(
-                        jnp.broadcast_to(~is_miss, (B, n_opt)))
-                    ok_e = ok[:, None] & (is_miss | cv)[None, :]
-                    sel_f = sel_e.reshape(B * n_opt, C, 2)
-                    msk_f = msk_e.reshape(B * n_opt, C)
-                    ok_f = ok_e.reshape(B * n_opt)
-                    X, _ = tri.triangulate_points(sel_f, Ps, msk_f)
-                    err = tri.reprojection_errors(sel_f, X, Ps, msk_f)
-                    # partials with <2 views rank at zero raw error
-                    nvis = jnp.sum(msk_f, axis=-1)
-                    err = jnp.where(nvis >= 2, err, 0.0)
-                    score = selection_score(err, msk_f, rc)
-                    score = jnp.where(ok_f, score, _INF)
-                    _, keep = jax.lax.top_k(-score, B)
-                    sel = sel_f[keep]
-                    msk = msk_f[keep]
-                    ok = ok_f[keep]
-                X, _ = tri.triangulate_points(sel, Ps, msk)
-                err = tri.reprojection_errors(sel, X, Ps, msk)
-                err = jnp.where(ok, err, _INF)
-                score = jnp.where(ok, selection_score(err, msk, rc), _INF)
-                best = jnp.argmin(score)
-                return X[best], err[best], jnp.isfinite(err[best])
+        def per_root(k, later=later, rc=rc, B=B):
+            sel = jnp.zeros((B, C, 2), pts.dtype)
+            msk = jnp.zeros((B, C), bool)
+            ok = jnp.zeros((B,), bool).at[0].set(True)  # one live seed
+            sel = sel.at[:, rc].set(pts[rc, k])
+            msk = msk.at[:, rc].set(True)
+            for b in later:
+                is_miss = choice_vec == n_opt - 1        # (n_opt,)
+                rank = jnp.minimum(choice_vec, max_candidates - 1)
+                j = cand_idx[rc, k, b, rank]             # (n_opt,)
+                cv = cand_valid[rc, k, b, rank]
+                # expand: (B, n_opt, ...) then flatten
+                sel_e = jnp.broadcast_to(sel[:, None], (B, n_opt, C, 2))
+                sel_e = sel_e.at[:, :, b].set(
+                    jnp.broadcast_to(pts[b, j], (B, n_opt, 2)))
+                msk_e = jnp.broadcast_to(msk[:, None], (B, n_opt, C))
+                msk_e = msk_e.at[:, :, b].set(
+                    jnp.broadcast_to(~is_miss, (B, n_opt)))
+                ok_e = ok[:, None] & (is_miss | cv)[None, :]
+                sel_f = sel_e.reshape(B * n_opt, C, 2)
+                msk_f = msk_e.reshape(B * n_opt, C)
+                ok_f = ok_e.reshape(B * n_opt)
+                X, _ = tri.triangulate_points(sel_f, Ps, msk_f)
+                err = tri.reprojection_errors(sel_f, X, Ps, msk_f)
+                # partials with <2 views rank at zero raw error
+                nvis = jnp.sum(msk_f, axis=-1)
+                err = jnp.where(nvis >= 2, err, 0.0)
+                score = selection_score(err, msk_f, rc)
+                score = jnp.where(ok_f, score, _INF)
+                _, keep = jax.lax.top_k(-score, B)
+                sel = sel_f[keep]
+                msk = msk_f[keep]
+                ok = ok_f[keep]
+            X, _ = tri.triangulate_points(sel, Ps, msk)
+            err = tri.reprojection_errors(sel, X, Ps, msk)
+            err = jnp.where(ok, err, _INF)
+            score = jnp.where(ok, selection_score(err, msk, rc), _INF)
+            best = jnp.argmin(score)
+            return X[best], err[best], jnp.isfinite(err[best])
 
         Xr, er, okr = jax.vmap(per_root)(jnp.arange(K))
         out_pts.append(Xr)
@@ -251,7 +308,11 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     errors = jnp.concatenate(out_err)
     ok = jnp.concatenate(out_ok)
     errors = jnp.where(ok, errors, _INF)
+    return _finalize(object_points, errors, ok, dedupe_eps)
 
+
+def _finalize(object_points, errors, ok, dedupe_eps):
+    """Ghost dedupe + output packaging shared by both matcher modes."""
     if dedupe_eps > 0:
         # drop a point when a strictly better (or equal-error, lower-index)
         # valid point lies within dedupe_eps

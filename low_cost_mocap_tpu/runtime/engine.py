@@ -91,7 +91,6 @@ class Engine:
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
             do_preprocess=preprocess_frames,
-            stage="locate",
             use_pallas=self._pallas,
         )
         self._step = jax.jit(functools.partial(

@@ -41,7 +41,7 @@ def test_packed_pipeline_matches_full_frame():
               marker_dist2=rig.marker_dist_long,
               marker_tol=rig.marker_dist_tol,
               marker_side_min=rig.marker_side_min,
-              do_preprocess=False, stage="locate")
+              do_preprocess=False)
 
     st_full = kalman.init_state(rig.num_objects)
     _, out_full = frame_step(st_full, jnp.asarray(frames), 1 / 60, Ps, K,
@@ -126,7 +126,7 @@ def test_sparse_pipeline_matches_packed():
               marker_dist2=rig.marker_dist_long,
               marker_tol=rig.marker_dist_tol,
               marker_side_min=rig.marker_side_min,
-              do_preprocess=False, stage="locate")
+              do_preprocess=False)
 
     packed = detect.pack_frames(frames, e.detect_threshold)
     st_p = kalman.init_state(rig.num_objects)
