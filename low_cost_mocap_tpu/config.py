@@ -68,6 +68,11 @@ class RigConfig:
     marker_side_min: float = 0.02      # third-LED off-axis floor (see ops/rigid.py)
     wand_length: float = 0.15          # scale wand, computer_code/api/index.py:294
     num_objects: int = 2               # tracked drones, computer_code/api/index.py:29
+    # Generalized rigid bodies (capability beyond the reference, which only
+    # fits its hardcoded LED triple): an arbitrary marker constellation in
+    # the engine's world frame, 6-DoF-fit per frame (ops/rigid_general.py).
+    body_markers: tuple = ()           # ((x, y, z), ...); () = disabled
+    max_bodies: int = 2                # instances extracted per frame
 
     def __post_init__(self):
         if not self.cameras:
@@ -77,6 +82,14 @@ class RigConfig:
         if len(self.cameras) != self.num_cameras:
             raise ValueError(
                 f"{len(self.cameras)} intrinsics for {self.num_cameras} cameras")
+
+    def body_template(self):
+        """``rigid_general.BodyTemplate`` for ``body_markers``, or None."""
+        if not self.body_markers:
+            return None
+        from low_cost_mocap_tpu.ops.rigid_general import make_template
+
+        return make_template(np.asarray(self.body_markers, np.float32))
 
     # --- stacked array views (device-friendly) ---
     def K_stack(self) -> np.ndarray:
@@ -157,6 +170,9 @@ def load_config(path: str) -> tuple[RigConfig, EngineConfig]:
         )
         for c in rig_d.pop("cameras")
     )
+    if "body_markers" in rig_d:
+        rig_d["body_markers"] = tuple(
+            tuple(m) for m in rig_d["body_markers"])
     rig = RigConfig(cameras=cams, **rig_d)
     engine = EngineConfig(**blob["engine"])
     return rig, engine

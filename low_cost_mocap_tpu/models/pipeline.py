@@ -46,6 +46,8 @@ class FrameOutputs(NamedTuple):
     point_valid: jnp.ndarray    # (C*K,)
     objects: rigid.LocatedObjects       # raw rigid-body fits
     tracked: kalman.TrackedObjects      # Kalman/low-pass output
+    bodies: Any = None          # rigid_general.LocatedBodies (I, ...) when
+    #                             a body template is configured
 
 
 def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
@@ -72,21 +74,39 @@ def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
         out.tracked.heading.reshape(-1),
         out.tracked.valid.astype(jnp.float32).reshape(-1),
     ]
+    if out.bodies is not None:
+        parts += [
+            out.bodies.R.reshape(-1),
+            out.bodies.t.reshape(-1),
+            out.bodies.rms.reshape(-1),
+            out.bodies.valid.astype(jnp.float32).reshape(-1),
+        ]
     return jnp.concatenate(parts)
 
 
 def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
-                   num_objects: int) -> FrameOutputs:
-    """Inverse of ``pack_outputs`` on a host numpy array."""
-    C, K, O = num_cameras, max_blobs, num_objects
+                   num_objects: int, num_bodies: int = 0) -> FrameOutputs:
+    """Inverse of ``pack_outputs`` on a host numpy array.
+
+    ``num_bodies``: the ``max_bodies`` the step was compiled with when a
+    body template is configured, else 0."""
+    C, K, O, I = num_cameras, max_blobs, num_objects, num_bodies
     N = C * K
     sizes = [C * K * 2, C * K, N * 3, N, N, N * 3, N, N, N, N,
-             O * 3, O * 3, O, O]
+             O * 3, O * 3, O, O] + ([I * 9, I * 3, I, I] if I else [])
     splits = np.split(np.asarray(arr), np.cumsum(sizes)[:-1])
     (blob_px, blob_valid, obj_pts, errs, pvalid, lpos, lhead, lerr, lidx,
-     lvalid, tpos, tvel, thead, tvalid) = splits
+     lvalid, tpos, tvel, thead, tvalid) = splits[:14]
     import low_cost_mocap_tpu.ops.rigid as rigid_mod
     import low_cost_mocap_tpu.ops.kalman as kalman_mod
+
+    bodies = None
+    if I:
+        from low_cost_mocap_tpu.ops.rigid_general import LocatedBodies
+
+        bR, bt, brms, bvalid = splits[14:]
+        bodies = LocatedBodies(R=bR.reshape(I, 3, 3), t=bt.reshape(I, 3),
+                               rms=brms, valid=bvalid > 0.5)
 
     return FrameOutputs(
         blob_px=blob_px.reshape(C, K, 2),
@@ -100,6 +120,7 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
         tracked=kalman_mod.TrackedObjects(
             pos=tpos.reshape(O, 3), vel=tvel.reshape(O, 3), heading=thead,
             valid=tvalid > 0.5),
+        bodies=bodies,
     )
 
 
@@ -140,6 +161,8 @@ class MocapPipeline:
                 marker_tol=rig.marker_dist_tol,
                 marker_side_min=rig.marker_side_min,
                 do_preprocess=preprocess_frames,
+                body_template=rig.body_template(),
+                max_bodies=rig.max_bodies,
             ),
             static_argnames=(),
             donate_argnums=(0,),
@@ -162,7 +185,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
                do_preprocess: bool, packed_input: bool = False,
                sparse_input: bool = False,
                image_shape: tuple[int, int, int] | None = None,
-               use_pallas: bool = False):
+               use_pallas: bool = False,
+               body_template=None, max_bodies: int = 2):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
@@ -220,6 +244,14 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
     new_state, tracked = kalman.update(
         state, located.pos, located.heading, located.index, located.valid, dt)
 
+    if body_template is not None:
+        from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
+
+        bodies = locate_bodies(obj_pts_world, match["valid"], body_template,
+                               max_instances=max_bodies)
+    else:
+        bodies = None
+
     return new_state, FrameOutputs(
         blob_px=blobs_u,
         blob_valid=blob_valid,
@@ -228,4 +260,5 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
         point_valid=match["valid"],
         objects=located,
         tracked=tracked,
+        bodies=bodies,
     )

@@ -92,7 +92,10 @@ class Engine:
             marker_side_min=rig.marker_side_min,
             do_preprocess=preprocess_frames,
             use_pallas=self._pallas,
+            body_template=rig.body_template(),
+            max_bodies=rig.max_bodies,
         )
+        self._num_bodies = rig.max_bodies if rig.body_markers else 0
         self._step = jax.jit(functools.partial(
             _step_packed, packed_input=self._fast, **_common),
             donate_argnums=(0,))
@@ -413,7 +416,8 @@ class Engine:
                 return None
             packed = self._pending.popleft()
         out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
-                             self.cfg.max_blobs, self.rig.num_objects)
+                             self.cfg.max_blobs, self.rig.num_objects,
+                             num_bodies=self._num_bodies)
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent
@@ -469,12 +473,22 @@ class Engine:
                                     round(float(vel[2]), 4),
                                     round(float(vel[1]), 4)],
                         })
-            self.emit("object-points", {
+            payload = {
                 "object_points": obj_pts.tolist(),
                 "errors": errs.tolist(),
                 "objects": objects,
                 "filtered_objects": filtered,
-            })
+            }
+            if out.bodies is not None:
+                # 6-DoF rigid-body fits (capability beyond the reference;
+                # additive field, reference clients ignore it)
+                bv = np.asarray(out.bodies.valid)
+                payload["bodies"] = [{
+                    "R": np.asarray(out.bodies.R)[i].tolist(),
+                    "t": np.asarray(out.bodies.t)[i].tolist(),
+                    "rms": float(np.asarray(out.bodies.rms)[i]),
+                } for i in np.where(bv)[0]]
+            self.emit("object-points", payload)
         with self._frame_lock:
             self._last_out = out
         return out

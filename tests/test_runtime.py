@@ -163,3 +163,40 @@ def test_artifacts_roundtrip(tmp_path, scene):
     np.testing.assert_allclose(back.ts, ts, atol=1e-6)
     assert back.scale_applied
     assert abs(back.mean_reprojection_error - 0.12) < 1e-9
+
+
+def test_live_body_tracking_agrees_with_triple_locator(scene):
+    # configure the drone's own LED triple as a generalized body template
+    # (body-frame origin at the arm midpoint, so the 6-DoF t must agree
+    # with the triple locator's midpoint position)
+    import dataclasses
+    import math
+
+    Rs, ts, rig, cfg = scene
+    h = math.sqrt(rig.marker_dist_short ** 2
+                  - (rig.marker_dist_long / 2) ** 2)
+    tri = ((-rig.marker_dist_long / 2, 0.0, 0.0),
+           (rig.marker_dist_long / 2, 0.0, 0.0),
+           (0.0, h, 0.0))
+    rig2 = dataclasses.replace(rig, body_markers=tri, max_bodies=1)
+    source = SyntheticSource(rig2, Rs, ts, num_drones=1, orbit_hz=0.0)
+    eng = Engine(rig2, cfg, source, CollectingLink())
+    events = []
+    eng.on("object-points", events.append)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist(),
+    })
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    for _ in range(3):
+        eng.process_frame(source.read(), 1 / 60)
+    last = events[-1]
+    assert len(last["bodies"]) == 1
+    body = last["bodies"][0]
+    drone = last["objects"][0]
+    assert np.abs(np.asarray(body["t"]) - np.asarray(drone["pos"])).max() \
+        < 0.01
+    assert body["rms"] < 5e-3
+    R = np.asarray(body["R"])
+    assert np.abs(R @ R.T - np.eye(3)).max() < 1e-4  # proper pose
