@@ -32,6 +32,8 @@ class SequenceResult(NamedTuple):
     tracked: kalman.TrackedObjects  # (T, O, ...) smoothed drone tracks
     bodies: object = None       # LocatedBodies (T, I, ...) when a
     #                             body_template was passed (6-DoF fits)
+    body_tracks: object = None  # body_tracker.TrackedBodies (T, I, ...) —
+    #                             gated + smoothed 6-DoF tracks
 
 
 def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
@@ -137,7 +139,21 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
         _, tracked = jax.lax.scan(
             track_step, st0,
             (loc.pos, loc.heading, loc.index, loc.valid, dts))
+
+        body_tracks = None
+        if bodies is not None:
+            from low_cost_mocap_tpu.ops import body_tracker
+
+            bst0 = body_tracker.init_state(max_bodies)
+
+            def body_step(st, inp):
+                b_t, b_R, b_rms, b_valid, dt = inp
+                return body_tracker.update(st, b_t, b_R, b_rms, b_valid, dt)
+
+            _, body_tracks = jax.lax.scan(
+                body_step, bst0,
+                (bodies.t, bodies.R, bodies.rms, bodies.valid, dts))
         return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid,
-                              tracked, bodies)
+                              tracked, bodies, body_tracks)
 
     return run

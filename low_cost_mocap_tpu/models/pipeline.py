@@ -48,6 +48,8 @@ class FrameOutputs(NamedTuple):
     tracked: kalman.TrackedObjects      # Kalman/low-pass output
     bodies: Any = None          # rigid_general.LocatedBodies (I, ...) when
     #                             a body template is configured
+    tracked_bodies: Any = None  # body_tracker.TrackedBodies (I, ...) —
+    #                             gated + smoothed 6-DoF body tracks
 
 
 def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
@@ -80,6 +82,10 @@ def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
             out.bodies.t.reshape(-1),
             out.bodies.rms.reshape(-1),
             out.bodies.valid.astype(jnp.float32).reshape(-1),
+            out.tracked_bodies.pos.reshape(-1),
+            out.tracked_bodies.vel.reshape(-1),
+            out.tracked_bodies.quat.reshape(-1),
+            out.tracked_bodies.valid.astype(jnp.float32).reshape(-1),
         ]
     return jnp.concatenate(parts)
 
@@ -93,7 +99,8 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
     C, K, O, I = num_cameras, max_blobs, num_objects, num_bodies
     N = C * K
     sizes = [C * K * 2, C * K, N * 3, N, N, N * 3, N, N, N, N,
-             O * 3, O * 3, O, O] + ([I * 9, I * 3, I, I] if I else [])
+             O * 3, O * 3, O, O] \
+        + ([I * 9, I * 3, I, I, I * 3, I * 3, I * 4, I] if I else [])
     splits = np.split(np.asarray(arr), np.cumsum(sizes)[:-1])
     (blob_px, blob_valid, obj_pts, errs, pvalid, lpos, lhead, lerr, lidx,
      lvalid, tpos, tvel, thead, tvalid) = splits[:14]
@@ -101,12 +108,17 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
     import low_cost_mocap_tpu.ops.kalman as kalman_mod
 
     bodies = None
+    tracked_bodies = None
     if I:
+        from low_cost_mocap_tpu.ops.body_tracker import TrackedBodies
         from low_cost_mocap_tpu.ops.rigid_general import LocatedBodies
 
-        bR, bt, brms, bvalid = splits[14:]
+        bR, bt, brms, bvalid, tbpos, tbvel, tbquat, tbvalid = splits[14:]
         bodies = LocatedBodies(R=bR.reshape(I, 3, 3), t=bt.reshape(I, 3),
                                rms=brms, valid=bvalid > 0.5)
+        tracked_bodies = TrackedBodies(
+            pos=tbpos.reshape(I, 3), vel=tbvel.reshape(I, 3),
+            quat=tbquat.reshape(I, 4), valid=tbvalid > 0.5)
 
     return FrameOutputs(
         blob_px=blob_px.reshape(C, K, 2),
@@ -121,6 +133,7 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
             pos=tpos.reshape(O, 3), vel=tvel.reshape(O, 3), heading=thead,
             valid=tvalid > 0.5),
         bodies=bodies,
+        tracked_bodies=tracked_bodies,
     )
 
 
@@ -168,13 +181,24 @@ class MocapPipeline:
             donate_argnums=(0,),
         )
 
-    def init_state(self) -> kalman.KalmanState:
-        return kalman.init_state(self.rig.num_objects)
+    def init_state(self):
+        return make_init_state(self.rig)
 
     def step(self, state, frames, dt):
         """One frame: (state, (C, H, W) float frames, dt) -> (state, outputs)."""
         return self._step(state, jnp.asarray(frames), jnp.asarray(dt),
                           self.Ps, self.K, self.dist, self.to_world_matrix)
+
+
+def make_init_state(rig: RigConfig):
+    """Initial tracker state for ``frame_step`` under this rig config:
+    a KalmanState, plus a BodyTrackState when bodies are configured."""
+    ks = kalman.init_state(rig.num_objects)
+    if rig.body_markers:
+        from low_cost_mocap_tpu.ops import body_tracker
+
+        return (ks, body_tracker.init_state(rig.max_bodies))
+    return ks
 
 
 def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
@@ -195,7 +219,13 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
     int32 lit-pixel indices (``ops.detect.sparse_ingest`` — minimal
     host->device bytes; ``image_shape`` = (C, H, W) must be given);
     otherwise (C, H, W) uint8/float frames thresholded on device.
+
+    ``state`` is a ``kalman.KalmanState``, or the 2-tuple
+    ``(KalmanState, body_tracker.BodyTrackState)`` when ``body_template``
+    is configured (build with ``make_init_state``).
     """
+    if body_template is not None:
+        state, body_state = state
     if sparse_input:
         frames = detect.scatter_pixels(frames, image_shape)
         eff_threshold = 0.5
@@ -245,12 +275,17 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
         state, located.pos, located.heading, located.index, located.valid, dt)
 
     if body_template is not None:
+        from low_cost_mocap_tpu.ops import body_tracker
         from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
 
         bodies = locate_bodies(obj_pts_world, match["valid"], body_template,
                                max_instances=max_bodies)
+        new_body_state, tracked_bodies = body_tracker.update(
+            body_state, bodies.t, bodies.R, bodies.rms, bodies.valid, dt)
+        new_state = (new_state, new_body_state)
     else:
         bodies = None
+        tracked_bodies = None
 
     return new_state, FrameOutputs(
         blob_px=blobs_u,
@@ -261,4 +296,5 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
         objects=located,
         tracked=tracked,
         bodies=bodies,
+        tracked_bodies=tracked_bodies,
     )

@@ -1,0 +1,177 @@
+"""Temporal 6-DoF rigid-body tracking over per-frame fits.
+
+The drone path pairs its per-frame locator with a Kalman bank
+(``computer_code/api/KalmanFilter.py`` — nearest-neighbour association +
+filtering); this is the same role for generalized rigid bodies
+(``ops/rigid_general.py``): per-frame 6-DoF fits are associated to
+persistent tracks, gated against the motion prediction (which rejects the
+geometrically-consistent-but-wrong interpretations a single frame cannot
+disambiguate — see rigid_general's "known limitation"), and smoothed.
+
+Fixed-shape design: ``max_bodies`` track slots; greedy nearest-neighbour
+association as a statically unrolled loop over slots (slot counts are
+small); alpha-beta filtering on position/velocity and sign-aligned
+quaternion low-pass on orientation.  ``update`` is jit/scan-compatible:
+the offline path scans it over a recording, the live path runs it inside
+the per-frame compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BodyTrackState(NamedTuple):
+    pos: jnp.ndarray      # (I, 3)
+    vel: jnp.ndarray      # (I, 3)
+    quat: jnp.ndarray     # (I, 4) body->world (w, x, y, z)
+    active: jnp.ndarray   # (I,) bool
+    missed: jnp.ndarray   # (I,) int32 consecutive missed frames
+
+
+class TrackedBodies(NamedTuple):
+    pos: jnp.ndarray      # (I, 3) filtered positions
+    vel: jnp.ndarray      # (I, 3)
+    quat: jnp.ndarray     # (I, 4)
+    valid: jnp.ndarray    # (I,)
+
+
+def init_state(max_bodies: int) -> BodyTrackState:
+    I = max_bodies
+    q0 = jnp.zeros((I, 4), jnp.float32).at[:, 0].set(1.0)
+    return BodyTrackState(
+        pos=jnp.zeros((I, 3), jnp.float32),
+        vel=jnp.zeros((I, 3), jnp.float32),
+        quat=q0,
+        active=jnp.zeros((I,), bool),
+        missed=jnp.zeros((I,), jnp.int32),
+    )
+
+
+def rot_to_quat(R):
+    """(..., 3, 3) rotation -> (..., 4) unit quaternion (w, x, y, z).
+
+    Branchless Shepperd: build all four case constructions, pick the one
+    keyed by the largest of (trace, R00, R11, R22) — numerically safe for
+    every rotation, no data-dependent control flow.
+    """
+    r = lambda i, j: R[..., i, j]
+    tr = r(0, 0) + r(1, 1) + r(2, 2)
+    # candidate squared magnitudes (all >= 0 up to rounding)
+    m = jnp.stack([1.0 + tr,
+                   1.0 + r(0, 0) - r(1, 1) - r(2, 2),
+                   1.0 - r(0, 0) + r(1, 1) - r(2, 2),
+                   1.0 - r(0, 0) - r(1, 1) + r(2, 2)], axis=-1)
+    k = jnp.argmax(m, axis=-1)
+    s = 2.0 * jnp.sqrt(jnp.maximum(
+        jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0], 1e-12))
+    q_w = jnp.stack([0.25 * s, (r(2, 1) - r(1, 2)) / s,
+                     (r(0, 2) - r(2, 0)) / s, (r(1, 0) - r(0, 1)) / s],
+                    axis=-1)
+    q_x = jnp.stack([(r(2, 1) - r(1, 2)) / s, 0.25 * s,
+                     (r(0, 1) + r(1, 0)) / s, (r(0, 2) + r(2, 0)) / s],
+                    axis=-1)
+    q_y = jnp.stack([(r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s,
+                     0.25 * s, (r(1, 2) + r(2, 1)) / s], axis=-1)
+    q_z = jnp.stack([(r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
+                     (r(1, 2) + r(2, 1)) / s, 0.25 * s], axis=-1)
+    q = jnp.select([k[..., None] == 0, k[..., None] == 1,
+                    k[..., None] == 2], [q_w, q_x, q_y], q_z)
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, 1e-12)
+
+
+def quat_to_rot(q):
+    """(..., 4) unit quaternion -> (..., 3, 3) rotation."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], axis=-1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], axis=-1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("max_missed",))
+def update(state: BodyTrackState, fit_t, fit_R, fit_rms, fit_valid, dt, *,
+           gate_m: float = 0.15, rms_max: float = 0.02,
+           max_missed: int = 8, pos_gain: float = 0.6,
+           vel_gain: float = 0.4, quat_gain: float = 0.5
+           ) -> tuple[BodyTrackState, TrackedBodies]:
+    """One tracker step over a frame's body fits.
+
+    fit_t: (F, 3); fit_R: (F, 3, 3); fit_rms/fit_valid: (F,) — the outputs
+    of ``rigid_general.locate_bodies`` for one frame.  Association is
+    greedy nearest-neighbour per track slot inside a ``gate_m`` radius of
+    the constant-velocity prediction (the gate is what rejects wrong-but-
+    consistent single-frame interpretations); unmatched fits seed tracks
+    in inactive slots; tracks coast for up to ``max_missed`` frames.
+    """
+    I = state.pos.shape[0]
+    F = fit_t.shape[0]
+    meas_ok = fit_valid & (fit_rms < rms_max)
+    meas_q = rot_to_quat(fit_R)
+
+    pred_pos = state.pos + state.vel * dt
+    d = jnp.linalg.norm(pred_pos[:, None, :] - fit_t[None, :, :], axis=-1)
+    d = jnp.where(meas_ok[None, :], d, jnp.inf)          # (I, F)
+
+    # greedy association, active tracks first (statically unrolled)
+    claimed = jnp.zeros((F,), bool)
+    match_idx = jnp.full((I,), -1, jnp.int32)
+    for i in range(I):
+        di = jnp.where(claimed, jnp.inf, d[i])
+        j = jnp.argmin(di)
+        ok = state.active[i] & (di[j] < gate_m)
+        match_idx = match_idx.at[i].set(jnp.where(ok, j, -1))
+        claimed = claimed | (jnp.zeros((F,), bool).at[j].set(ok))
+
+    matched = match_idx >= 0
+    j_safe = jnp.maximum(match_idx, 0)
+    meas_pos = fit_t[j_safe]                             # (I, 3)
+    meas_quat = meas_q[j_safe]
+
+    # alpha-beta update on position/velocity
+    resid = meas_pos - pred_pos
+    new_pos = jnp.where(matched[:, None],
+                        pred_pos + pos_gain * resid, pred_pos)
+    new_vel = jnp.where(matched[:, None],
+                        state.vel + vel_gain * resid / jnp.maximum(dt, 1e-4),
+                        state.vel)
+    # sign-aligned quaternion low-pass (q and -q are the same rotation)
+    sign = jnp.sign(jnp.sum(meas_quat * state.quat, axis=-1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    q_mix = state.quat + quat_gain * (sign * meas_quat - state.quat)
+    q_mix = q_mix / jnp.maximum(
+        jnp.linalg.norm(q_mix, axis=-1, keepdims=True), 1e-12)
+    new_quat = jnp.where(matched[:, None], q_mix, state.quat)
+
+    new_missed = jnp.where(matched, 0, state.missed + 1)
+    still_active = state.active & (new_missed <= max_missed)
+
+    # spawn unclaimed valid fits into inactive slots (statically unrolled)
+    free = ~still_active
+    spawnable = meas_ok & ~claimed
+    pos_s, vel_s, quat_s = new_pos, new_vel, new_quat
+    active_s, missed_s = still_active, new_missed
+    for i in range(I):
+        j = jnp.argmax(spawnable)
+        do = free[i] & jnp.any(spawnable)
+        pos_s = pos_s.at[i].set(jnp.where(do, fit_t[j], pos_s[i]))
+        vel_s = vel_s.at[i].set(jnp.where(do, 0.0, vel_s[i]))
+        quat_s = quat_s.at[i].set(jnp.where(do, meas_q[j], quat_s[i]))
+        active_s = active_s.at[i].set(active_s[i] | do)
+        missed_s = missed_s.at[i].set(jnp.where(do, 0, missed_s[i]))
+        spawnable = spawnable & ~(jnp.zeros((F,), bool).at[j].set(do))
+        free = free.at[i].set(free[i] & ~do)
+
+    new_state = BodyTrackState(pos=pos_s, vel=vel_s, quat=quat_s,
+                               active=active_s, missed=missed_s)
+    return new_state, TrackedBodies(pos=pos_s, vel=vel_s, quat=quat_s,
+                                    valid=active_s)

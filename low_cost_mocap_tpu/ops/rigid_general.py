@@ -32,8 +32,10 @@ that another marker subset + ghost forms a template-consistent
 constellation, the fit can lock onto the wrong interpretation with a low
 RMS (measured: 2/64 frames on a 4-marker body in a ghost-prone synthetic
 scene).  Raise ``min_markers`` (e.g. to M) or tighten ``edge_tol`` for
-ambiguity-critical captures; temporal association in the tracker is the
-principled fix and pairs naturally with per-frame fits.
+ambiguity-critical captures; ``ops/body_tracker.py`` is the principled
+fix — its motion gate rejects fits that teleport off the track
+prediction, and both the live engine and the offline path run it on top
+of these per-frame fits.
 """
 
 from __future__ import annotations

@@ -70,7 +70,8 @@ class Engine:
         self._dist = jnp.asarray(rig.dist_stack())
         self._Ps = jnp.tile(jnp.eye(3, 4), (rig.num_cameras, 1, 1))
         self._M = jnp.asarray(self.to_world_matrix)
-        self._kalman_state = kalman_ops.init_state(rig.num_objects)
+        from low_cost_mocap_tpu.models.pipeline import make_init_state
+        self._kalman_state = make_init_state(rig)
         if artifacts_dir:
             self._load_calibration_artifact()  # resume persisted calibration
 
@@ -217,7 +218,8 @@ class Engine:
             if data.get("toWorldCoordsMatrix") is not None:
                 self.set_to_world_matrix(
                     np.asarray(data["toWorldCoordsMatrix"], np.float32))
-            self._kalman_state = kalman_ops.init_state(self.rig.num_objects)
+            from low_cost_mocap_tpu.models.pipeline import make_init_state
+            self._kalman_state = make_init_state(self.rig)
             self.is_capturing_points = True
             self.is_triangulating_points = True
         else:
@@ -480,14 +482,25 @@ class Engine:
                 "filtered_objects": filtered,
             }
             if out.bodies is not None:
-                # 6-DoF rigid-body fits (capability beyond the reference;
-                # additive field, reference clients ignore it)
+                # 6-DoF rigid-body fits + gated/smoothed tracks (capability
+                # beyond the reference; additive fields, reference clients
+                # ignore them)
                 bv = np.asarray(out.bodies.valid)
                 payload["bodies"] = [{
                     "R": np.asarray(out.bodies.R)[i].tolist(),
                     "t": np.asarray(out.bodies.t)[i].tolist(),
                     "rms": float(np.asarray(out.bodies.rms)[i]),
                 } for i in np.where(bv)[0]]
+                tb = out.tracked_bodies
+                tbv = np.asarray(tb.valid)
+                from low_cost_mocap_tpu.ops.body_tracker import quat_to_rot
+                payload["tracked_bodies"] = [{
+                    "bodyIndex": int(i),
+                    "pos": np.asarray(tb.pos)[i].tolist(),
+                    "vel": np.asarray(tb.vel)[i].tolist(),
+                    "quat": np.asarray(tb.quat)[i].tolist(),
+                    "R": np.asarray(quat_to_rot(tb.quat[i])).tolist(),
+                } for i in np.where(tbv)[0]]
             self.emit("object-points", payload)
         with self._frame_lock:
             self._last_out = out

@@ -77,3 +77,11 @@ def test_offline_recording_tracks_body_pose():
                 for i in range(T))
     assert R_err < 0.15, R_err
     assert float(np.asarray(res.bodies.rms)[:, 0].max()) < 8e-3
+
+    # temporal tracker: locked on from frame 1 and follows the truth
+    assert res.body_tracks is not None
+    tv = np.asarray(res.body_tracks.valid)[:, 0]
+    assert tv[1:].all()
+    tt_err = np.abs(np.asarray(res.body_tracks.pos)[2:, 0]
+                    - t_eng[2:]).max()
+    assert tt_err < 0.02, tt_err

@@ -200,3 +200,9 @@ def test_live_body_tracking_agrees_with_triple_locator(scene):
     assert body["rms"] < 5e-3
     R = np.asarray(body["R"])
     assert np.abs(R @ R.T - np.eye(3)).max() < 1e-4  # proper pose
+    # the temporal tracker locked on and agrees with the per-frame fit
+    assert len(last["tracked_bodies"]) == 1
+    tb = last["tracked_bodies"][0]
+    assert np.abs(np.asarray(tb["pos"]) - np.asarray(body["t"])).max() < 0.01
+    Rt = np.asarray(tb["R"])
+    assert np.abs(Rt @ Rt.T - np.eye(3)).max() < 1e-4
