@@ -111,37 +111,51 @@ def _combo_table(num_later: int, n_opt: int, h_max: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _hypothesis_tables(C: int, n_opt: int):
-    """Static tables driving the all-roots one-hot formulation.
+    """Static RAGGED hypothesis tables for the all-roots one-hot matcher.
 
-    For root camera ``rc``, hypothesis ``h``, camera ``b``:
-      - ``self_tab`` (C, H, C) bool: b == rc (the root's own observation);
-      - ``use_tab`` (C, H, C) bool: b > rc and the combo picks a candidate
-        (vs "missing", reference ``helpers.py:387-389``);
-      - ``onehot_rank`` (C, H, C, R) f32: one-hot of the candidate rank the
-        combo picks (all-zero when missing/self) — hypothesis observations
-        are *contracted* out of the candidate tensor with this instead of
-        gathered (TPU gathers are row-serial; a tiny einsum is pure VPU).
-      - rows beyond rc's real combo count are all-missing padding
-        (harmless duplicates; argmin tie-breaks to the first).
-    Hypothesis order per root camera is exactly ``_combo_table``'s
+    Hypotheses for every root camera are flattened into ONE axis of
+    length H_tot = sum_rc n_opt^(C-1-rc) — no all-missing padding rows
+    (a (C, n_opt^(C-1)) rectangle wastes 2.7x the DLT work at C=4).
+    Per hypothesis ``h`` (root camera rc(h)) and camera ``b``:
+      - ``onehot`` (H_tot, C_root, C, R) f32: one-hot of (root camera,
+        candidate rank) the combo picks (all-zero when missing/self) —
+        hypothesis observations are *contracted* out of the
+        (C_root, K, C, R) candidate tensor with this instead of gathered
+        (TPU gathers are row-serial; a tiny einsum is pure VPU);
+      - ``use_tab`` (H_tot, C) bool: b is a later camera with a candidate
+        picked (vs "missing", reference ``helpers.py:387-389``);
+      - ``self_tab`` (H_tot, C) bool: b == rc(h) (the root's own point);
+      - ``rc_onehot`` (C_root, H_tot) f32 + ``rc_of_h`` (H_tot,) int32:
+        ownership of hypotheses by root camera (for per-root argmin).
+    Hypothesis order within a root camera is exactly ``_combo_table``'s
     (itertools.product), preserving the reference's tie-break order.
     """
-    H = n_opt ** (C - 1)
     R = n_opt - 1
-    onehot = np.zeros((C, H, C, R), np.float32)
-    use_tab = np.zeros((C, H, C), bool)
-    self_tab = np.zeros((C, H, C), bool)
+    counts = [n_opt ** (C - 1 - rc) for rc in range(C)]
+    H_tot = sum(counts)
+    onehot = np.zeros((H_tot, C, C, R), np.float32)
+    use_tab = np.zeros((H_tot, C), bool)
+    self_tab = np.zeros((H_tot, C), bool)
+    rc_of_h = np.zeros((H_tot,), np.int32)
+    h0 = 0
     for rc in range(C):
-        self_tab[rc, :, rc] = True
         later = list(range(rc + 1, C))
-        combos = _combo_table(len(later), n_opt, H)
+        n_h = counts[rc]
+        combos = _combo_table(len(later), n_opt, n_h)
+        sl = slice(h0, h0 + n_h)
+        rc_of_h[sl] = rc
+        self_tab[sl, rc] = True
         for li, b in enumerate(later):
             choice = combos[:, li]
             miss = choice == n_opt - 1
-            use_tab[rc, :, b] = ~miss
+            use_tab[sl, b] = ~miss
             rank = np.minimum(choice, R - 1)
-            onehot[rc, np.arange(H), b, rank] = (~miss).astype(np.float32)
-    return onehot, use_tab, self_tab
+            onehot[h0 + np.arange(n_h), rc, b, rank] = \
+                (~miss).astype(np.float32)
+        h0 += n_h
+    rc_onehot = np.zeros((C, H_tot), np.float32)
+    rc_onehot[rc_of_h, np.arange(H_tot)] = 1.0
+    return onehot, use_tab, self_tab, rc_onehot, rc_of_h
 
 
 def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
@@ -205,50 +219,63 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     if mode == "exact":
         # All roots x all hypotheses evaluated at once: pre-gather the tiny
         # (C, K, C, R) candidate-observation tensor, then *contract* each
-        # hypothesis's observations out of it with a static one-hot table
-        # and run ONE batched DLT over every (root, hypothesis).  No Python
+        # hypothesis's observations out of it with a static RAGGED one-hot
+        # table (one flattened hypothesis axis, no all-missing padding) and
+        # run ONE batched DLT over every (root, hypothesis).  No Python
         # loop over root cameras, no scatters, and no large gathers (TPU
         # gathers are row-serial; these einsums are pure VPU work).
-        H = n_opt ** (C - 1)
-        onehot_np, use_np, self_np = _hypothesis_tables(C, n_opt)
-        onehot = jnp.asarray(onehot_np)                     # (C, H, C, R)
-        use_tab = jnp.asarray(use_np)                       # (C, H, C)
-        self_tab = jnp.asarray(self_np)
+        onehot_np, use_np, self_np, rc_oh_np, rc_of_h = \
+            _hypothesis_tables(C, n_opt)
+        onehot = jnp.asarray(onehot_np)                     # (H, C, C, R)
+        use_tab = jnp.asarray(use_np)                       # (H, C)
+        self_tab = jnp.asarray(self_np)                     # (H, C)
+        rc_onehot = jnp.asarray(rc_oh_np)                   # (C, H)
+        H = onehot_np.shape[0]
 
         # candidate observations: obs_cand[a, k, b, r] = pts[b, cand_idx[a,k,b,r]]
         b_idx = jnp.arange(C)[None, None, :, None]
         obs_cand = pts[b_idx, cand_idx]                     # (C, K, C, R, 2)
 
         # hypothesis selections via one-hot contraction
-        obs = jnp.einsum("ahbr,akbrx->akhbx", onehot, obs_cand)
-        cv_miss = jnp.einsum("ahbr,akbr->akhb", onehot,
+        obs = jnp.einsum("habr,akbrx->khbx", onehot, obs_cand)
+        cv_miss = jnp.einsum("habr,akbr->khb", onehot,
                              (~cand_valid).astype(onehot.dtype))
-        sel = jnp.where(self_tab[:, None, :, :, None],
-                        pts[:, :, None, None, :], obs)      # (C, K, H, C, 2)
-        msk = jnp.broadcast_to((self_tab | use_tab)[:, None], (C, K, H, C))
-        ok = jnp.sum(cv_miss, axis=-1) < 0.5                # (C, K, H)
+        self_pts = jnp.einsum("ah,akx->khx", rc_onehot, pts)  # (K, H, 2)
+        sel = jnp.where(self_tab[None, :, :, None],
+                        self_pts[:, :, None, :], obs)      # (K, H, C, 2)
+        msk = jnp.broadcast_to((self_tab | use_tab)[None], (K, H, C))
+        ok = jnp.sum(cv_miss, axis=-1) < 0.5                # (K, H)
 
-        sel_f = sel.reshape(C * K * H, C, 2)
-        msk_f = msk.reshape(C * K * H, C)
-        X, _ = tri.triangulate_points(sel_f, Ps, msk_f)     # (CKH, 3)
+        sel_f = sel.reshape(K * H, C, 2)
+        msk_f = msk.reshape(K * H, C)
+        X, _ = tri.triangulate_points(sel_f, Ps, msk_f)     # (KH, 3)
         err = tri.reprojection_errors(sel_f, X, Ps, msk_f)
-        X = X.reshape(C, K, H, 3)
-        err = jnp.where(ok, err.reshape(C, K, H), _INF)
+        X = X.reshape(K, H, 3)
+        err = jnp.where(ok, err.reshape(K, H), _INF)
 
         # selection score with per-root-camera miss penalty
-        n_vis = jnp.sum(msk, axis=-1).astype(err.dtype)     # (C, K, H)
-        n_later = jnp.asarray([float(C - rc - 1) for rc in range(C)],
-                              err.dtype)[:, None, None]
+        n_vis = jnp.sum(msk, axis=-1).astype(err.dtype)     # (K, H)
+        n_later = jnp.asarray((C - 1 - rc_of_h).astype(np.float32))[None]
         n_miss = jnp.maximum(n_later - (n_vis - 1.0), 0.0)
         score = (err * n_vis + n_miss * tau2) / jnp.maximum(
             n_vis + n_miss, 1.0)
         score = jnp.where(ok, score, _INF)
 
-        best = jnp.argmin(score, axis=-1)                   # (C, K)
-        object_points = jnp.take_along_axis(
-            X, best[:, :, None, None], axis=2).squeeze(2).reshape(C * K, 3)
-        errors = jnp.take_along_axis(
-            err, best[:, :, None], axis=2).squeeze(2).reshape(C * K)
+        # per-root-camera winner: hypotheses are contiguous per rc, so the
+        # argmin runs over static slices (rc-major output order preserved)
+        out_pts, out_err = [], []
+        h0 = 0
+        for rc in range(C):
+            n_h = n_opt ** (C - 1 - rc)
+            s = score[:, h0:h0 + n_h]                       # (K, n_h)
+            best = jnp.argmin(s, axis=-1)                   # (K,)
+            out_pts.append(jnp.take_along_axis(
+                X[:, h0:h0 + n_h], best[:, None, None], axis=1)[:, 0])
+            out_err.append(jnp.take_along_axis(
+                err[:, h0:h0 + n_h], best[:, None], axis=1)[:, 0])
+            h0 += n_h
+        object_points = jnp.concatenate(out_pts)            # (C*K, 3)
+        errors = jnp.concatenate(out_err)
         ok = jnp.isfinite(errors) & root_mask.reshape(C * K)
         errors = jnp.where(ok, errors, _INF)
         return _finalize(object_points, errors, ok, dedupe_eps)
