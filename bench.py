@@ -39,7 +39,7 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    state, frames, dt, Ps, K, dist, M = args
+    state, frames, dt, Ps, K, dist, M, Fs = args
     frames_np = np.asarray(frames)
 
     from low_cost_mocap_tpu.ops.detect import sparse_ingest
@@ -57,7 +57,7 @@ def main():
         assert ok, "benchmark scene exceeded the sparse ingest budget"
         return jax.device_put(idx)
 
-    state, out = step(state, ingest(), dt, Ps, K, dist, M)
+    state, out = step(state, ingest(), dt, Ps, K, dist, M, Fs)
     jax.block_until_ready(out)
 
     def run_window(state, n_iters):
@@ -69,8 +69,8 @@ def main():
         for _ in range(n_iters - 1):
             cur = nxt
             nxt = ingest()
-            state, out = step(state, cur, dt, Ps, K, dist, M)
-        state, out = step(state, nxt, dt, Ps, K, dist, M)
+            state, out = step(state, cur, dt, Ps, K, dist, M, Fs)
+        state, out = step(state, nxt, dt, Ps, K, dist, M, Fs)
         jax.block_until_ready(out)
         return state, time.perf_counter() - t0
 

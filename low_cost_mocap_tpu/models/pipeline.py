@@ -158,6 +158,7 @@ class MocapPipeline:
         if to_world_matrix is None:
             to_world_matrix = np.eye(4, dtype=np.float32)
         self.to_world_matrix = jnp.asarray(to_world_matrix, jnp.float32)
+        self.Fs = correspond._pairwise_fundamentals(self.Ps)
         self.preprocess_frames = preprocess_frames
 
         e = engine
@@ -187,7 +188,8 @@ class MocapPipeline:
     def step(self, state, frames, dt):
         """One frame: (state, (C, H, W) float frames, dt) -> (state, outputs)."""
         return self._step(state, jnp.asarray(frames), jnp.asarray(dt),
-                          self.Ps, self.K, self.dist, self.to_world_matrix)
+                          self.Ps, self.K, self.dist, self.to_world_matrix,
+                          self.Fs)
 
 
 def make_init_state(rig: RigConfig):
@@ -201,7 +203,7 @@ def make_init_state(rig: RigConfig):
     return ks
 
 
-def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
+def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
                threshold: float, max_blobs: int, cc_iters: int,
                gate_px: float, max_candidates: int,
                marker_dist1: float, marker_dist2: float, marker_tol: float,
@@ -223,6 +225,13 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
     ``state`` is a ``kalman.KalmanState``, or the 2-tuple
     ``(KalmanState, body_tracker.BodyTrackState)`` when ``body_template``
     is configured (build with ``make_init_state``).
+
+    ``Fs``: precomputed (C, C, 3, 3) pairwise fundamental matrices
+    (``correspond._pairwise_fundamentals(Ps)``).  They only change when
+    the calibration does, and recomputing them inside the step costs
+    ~0.2 ms/dispatch on TPU — half the step itself — so serving loops
+    must pass them in (None recomputes; fine for offline/scanned use
+    where XLA hoists the loop-invariant work).
     """
     if body_template is not None:
         state, body_state = state
@@ -259,7 +268,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, *,
 
     match = correspond.match_points(blobs_u, blob_valid, Ps,
                                     gate_px=gate_px,
-                                    max_candidates=max_candidates)
+                                    max_candidates=max_candidates,
+                                    Fs=Fs)
     obj_pts_world = world.to_world(match["object_points"], to_world_matrix)
     obj_pts_world = jnp.where(match["valid"][:, None], obj_pts_world, 0.0)
 

@@ -52,7 +52,7 @@ def _pairwise_fundamentals(Ps):
     return F.reshape(C, C, 3, 3)
 
 
-def _epipolar_distances(pts, valid, Ps, gate_px):
+def _epipolar_distances(pts, valid, Ps, gate_px, Fs=None):
     """d[a, k, b, j] = distance of point (b, j) to epiline of point (a, k).
 
     Returns (d, gated) with shape (C, K, C, K); ``gated`` includes validity
@@ -60,7 +60,7 @@ def _epipolar_distances(pts, valid, Ps, gate_px):
     (``computer_code/api/helpers.py:375``).
     """
     C, K, _ = pts.shape
-    F = _pairwise_fundamentals(Ps)                       # (C, C, 3, 3)
+    F = _pairwise_fundamentals(Ps) if Fs is None else Fs  # (C, C, 3, 3)
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)  # (C,K,3)
     # lines[a, k, b, :] = F[a, b] @ ph[a, k]
     lines = jnp.einsum("abij,akj->akbi", F, ph)          # (C, K, C, 3)
@@ -160,7 +160,8 @@ def _hypothesis_tables(C: int, n_opt: int):
 
 def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
                  dedupe_eps: float = 0.02, mode: str = "auto",
-                 beam_width: int = 0, miss_penalty_px: float = -1.0):
+                 beam_width: int = 0, miss_penalty_px: float = -1.0,
+                 Fs=None):
     """Full-frame correspondence + triangulation.
 
     pts: (C, K, 2) detected blob centroids; valid: (C, K); Ps: (C, 3, 4).
@@ -208,7 +209,7 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
         return (err * n_vis + n_miss * tau2) / jnp.maximum(
             n_vis + n_miss, 1.0)
 
-    d, gated = _epipolar_distances(pts, valid, Ps, gate_px)
+    d, gated = _epipolar_distances(pts, valid, Ps, gate_px, Fs)
     root_mask = _compute_roots(d, gated, valid)
 
     # top-`max_candidates` gated candidate slots per (root, later camera)

@@ -69,6 +69,8 @@ class Engine:
         self._K = jnp.asarray(rig.K_stack())
         self._dist = jnp.asarray(rig.dist_stack())
         self._Ps = jnp.tile(jnp.eye(3, 4), (rig.num_cameras, 1, 1))
+        from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
+        self._F = _pairwise_fundamentals(self._Ps)
         self._M = jnp.asarray(self.to_world_matrix)
         from low_cost_mocap_tpu.models.pipeline import make_init_state
         self._kalman_state = make_init_state(rig)
@@ -280,6 +282,11 @@ class Engine:
         self.camera_poses = (Rs, ts)
         self._Ps = cam_ops.projection_matrix(
             self._K, jnp.asarray(Rs), jnp.asarray(ts))
+        # pairwise fundamentals change only here; recomputing them inside
+        # the per-frame step costs ~0.2 ms/dispatch on TPU (see
+        # models/pipeline.frame_step docstring)
+        from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
+        self._F = _pairwise_fundamentals(self._Ps)
         self._save_calibration_artifact()
 
     def set_to_world_matrix(self, M: np.ndarray) -> None:
@@ -402,7 +409,7 @@ class Engine:
             payload = frames
         self._kalman_state, packed = step(
             self._kalman_state, jnp.asarray(payload), jnp.asarray(dt),
-            self._Ps, self._K, self._dist, self._M)
+            self._Ps, self._K, self._dist, self._M, self._F)
         # ONE ~2 KB device->host transfer for all outputs (fetching the ~20
         # pytree leaves individually pays the readback latency per array).
         # With readback_pipeline_depth > 0 the fetch is issued async and
