@@ -18,8 +18,9 @@ flags (``is_capturing_points`` / ``is_triangulating_points`` /
 ``is_locating_objects``, ``computer_code/api/helpers.py:28-33``) stay
 host-side: the runtime always dispatches the same compiled program and the
 flags only select which *outputs* to emit, so toggling modes never
-recompiles (full-chain device cost is ~0.2 ms/frame — cheaper than a
-second executable's compile + swap).
+recompiles (full-chain device cost is ~0.43 ms/frame, per-stage table in
+benchmarks/SCALING.md — cheaper than a second executable's compile +
+swap).
 """
 
 from __future__ import annotations

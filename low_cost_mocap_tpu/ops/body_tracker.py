@@ -87,15 +87,9 @@ def rot_to_quat(R):
 
 def quat_to_rot(q):
     """(..., 4) unit quaternion -> (..., 3, 3) rotation."""
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    return jnp.stack([
-        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
-                   2 * (x * z + w * y)], axis=-1),
-        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
-                   2 * (y * z - w * x)], axis=-1),
-        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
-                   1 - 2 * (x * x + y * y)], axis=-1),
-    ], axis=-2)
+    from low_cost_mocap_tpu.ops.rotations import quat_to_matrix
+
+    return quat_to_matrix(q)
 
 
 @functools.partial(jax.jit, static_argnames=("max_missed",))

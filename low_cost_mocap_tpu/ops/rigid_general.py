@@ -163,15 +163,9 @@ def _largest_eigvec_sym4(K, newton_iters: int = 30):
 
 def _quat_to_rot(q):
     """(..., 4) unit quaternion (w, x, y, z) -> (..., 3, 3) rotation."""
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    return jnp.stack([
-        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
-                   2 * (x * z + w * y)], axis=-1),
-        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
-                   2 * (y * z - w * x)], axis=-1),
-        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
-                   1 - 2 * (x * x + y * y)], axis=-1),
-    ], axis=-2)
+    from low_cost_mocap_tpu.ops.rotations import quat_to_matrix
+
+    return quat_to_matrix(q)
 
 
 def weighted_absolute_orientation(P, Q, w):
@@ -359,8 +353,12 @@ def locate_bodies(points, valid, template: BodyTemplate, *,
         fit = fit_body(points, live, template, edge_tol=edge_tol,
                        assoc_tol=assoc_tol, pair_budget=pair_budget,
                        refine_iters=refine_iters, min_markers=min_markers)
-        used = jnp.zeros((N,), bool).at[fit.point_idx].set(
-            fit.matched, mode="drop")
+        # unmatched markers carry point_idx == -1, which jnp scatters WRAP
+        # to N-1 rather than drop — route them to index N so mode="drop"
+        # actually discards them (a wrapped False write raced the real
+        # slot-(N-1) marker's True and could leave it unconsumed)
+        idx = jnp.where(fit.matched, fit.point_idx, N)
+        used = jnp.zeros((N,), bool).at[idx].set(True, mode="drop")
         live2 = live & ~(used & fit.valid)
         return live2, (fit.R, fit.t, fit.rms, fit.valid)
 

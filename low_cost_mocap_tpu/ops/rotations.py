@@ -112,3 +112,29 @@ def matrix_to_rotvec(R):
     )
     rvec_pi = axis_norm * theta[..., None]
     return jnp.where(near_pi[..., None], rvec_pi, generic)
+
+
+def _quat_to_matrix(xp, q):
+    """Shared formula; ``xp`` is jnp (traced) or numpy (host-side)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rows = [
+        xp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], axis=-1),
+        xp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], axis=-1),
+        xp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], axis=-1),
+    ]
+    return xp.stack(rows, axis=-2)
+
+
+def quat_to_matrix(q):
+    """(..., 4) unit quaternion (w, x, y, z) -> (..., 3, 3), jax."""
+    return _quat_to_matrix(jnp, q)
+
+
+def quat_to_matrix_np(q):
+    """numpy variant for host-side consumers (no device dispatch)."""
+    import numpy as np
+
+    return _quat_to_matrix(np, np.asarray(q))

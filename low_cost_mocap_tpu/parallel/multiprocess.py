@@ -157,6 +157,7 @@ def run_cluster(num_processes: int, local_devices: int = 1, *,
             kept + [f"--xla_force_host_platform_device_count={local_devices}"])
         # keep worker BLAS/XLA threading modest: workers timeshare the host
         env.setdefault("OPENBLAS_NUM_THREADS", "1")
+        err_files = []
         for pid in range(num_processes):
             out = os.path.join(tmpdir, f"result_{pid}.json")
             outs.append(out)
@@ -169,26 +170,36 @@ def run_cluster(num_processes: int, local_devices: int = 1, *,
                 cmd += ["--coordinator", coord,
                         "--num-processes", str(num_processes),
                         "--process-id", str(pid)]
+            # stderr goes to a file, not a pipe: a crashed worker spewing a
+            # long traceback into a full pipe buffer would block while its
+            # peers sit in a collective waiting for it and the launcher
+            # waits on an earlier worker — a three-way deadlock
+            ef = open(os.path.join(tmpdir, f"stderr_{pid}.log"), "wb")
+            err_files.append(ef)
             procs.append(subprocess.Popen(
                 cmd, env=env, cwd=os.path.dirname(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__)))),
-                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE))
+                stdout=subprocess.DEVNULL, stderr=ef))
         deadline = time.monotonic() + timeout_s
-        errs = []
-        for p in procs:
-            try:
-                _, err = p.communicate(timeout=max(1.0,
-                                                   deadline - time.monotonic()))
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise RuntimeError(
-                    f"multiprocess worker timed out after {timeout_s}s")
-            errs.append(err.decode(errors="replace"))
-        for p, err in zip(procs, errs):
+        try:
+            for p in procs:
+                try:
+                    p.wait(timeout=max(1.0, deadline - time.monotonic()))
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    raise RuntimeError(
+                        f"multiprocess worker timed out after {timeout_s}s")
+        finally:
+            for ef in err_files:
+                ef.close()
+        for pid, p in enumerate(procs):
             if p.returncode != 0:
+                with open(os.path.join(tmpdir, f"stderr_{pid}.log"),
+                          errors="replace") as f:
+                    err = f.read()
                 raise RuntimeError(
-                    f"worker exited {p.returncode}:\n{err[-2000:]}")
+                    f"worker {pid} exited {p.returncode}:\n{err[-2000:]}")
         results = []
         for out in outs:
             with open(out) as f:

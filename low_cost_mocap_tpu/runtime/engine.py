@@ -500,13 +500,16 @@ class Engine:
                 } for i in np.where(bv)[0]]
                 tb = out.tracked_bodies
                 tbv = np.asarray(tb.valid)
-                from low_cost_mocap_tpu.ops.body_tracker import quat_to_rot
+                # quat->R on host numpy: tb is already host data, and a jnp
+                # call here would dispatch to the (tunneled) device + block
+                # on readback once per body per frame
+                from low_cost_mocap_tpu.ops.rotations import quat_to_matrix_np
                 payload["tracked_bodies"] = [{
                     "bodyIndex": int(i),
                     "pos": np.asarray(tb.pos)[i].tolist(),
                     "vel": np.asarray(tb.vel)[i].tolist(),
                     "quat": np.asarray(tb.quat)[i].tolist(),
-                    "R": np.asarray(quat_to_rot(tb.quat[i])).tolist(),
+                    "R": quat_to_matrix_np(tb.quat[i]).tolist(),
                 } for i in np.where(tbv)[0]]
             self.emit("object-points", payload)
         with self._frame_lock:
