@@ -365,3 +365,76 @@ def locate_bodies(points, valid, template: BodyTemplate, *,
     _, (Rs, ts, rms, ok) = jax.lax.scan(
         body, valid, None, length=max_instances)
     return LocatedBodies(R=Rs, t=ts, rms=rms, valid=ok)
+
+
+def learn_template(points_seq, valid_seq, *, edge_tol: float = 0.02,
+                   assoc_tol: float = 0.03, refine_rounds: int = 2,
+                   min_frames: int = 3) -> BodyTemplate:
+    """Learn a rigid-body template from a capture of the body moving.
+
+    The standard mocap "create rigid body from selection" workflow: record
+    a short sequence where ONE body (and possibly clutter/ghosts) is
+    visible, and derive the marker constellation automatically instead of
+    hand-measuring it.  points_seq: (T, N, 3) triangulated world points
+    (e.g. ``SequenceResult.object_points``); valid_seq: (T, N).
+
+    Method: the frame with the most valid points seeds a template (its
+    points, centroid-centered, principal-axes-aligned for determinism);
+    every frame is then 6-DoF-fit against it (``fit_body``, vmapped over
+    time) and each matched marker's body-frame coordinate
+    R^T (p - t) is averaged across frames — ghosts and occlusions drop
+    out through the fit's own gating.  Two rounds converge.  Markers never
+    visible in the seed frame cannot be discovered: capture a segment
+    where the whole constellation is seen at least once.
+
+    Returns the learned template; raises if fewer than ``min_frames``
+    frames fit the evolving template (e.g. the "body" was not rigid).
+    """
+    pts = np.asarray(points_seq, np.float32)
+    vld = np.asarray(valid_seq, bool)
+    T = pts.shape[0]
+
+    # ---- seed: most-visible frame, canonicalized for determinism
+    t0 = int(np.argmax(vld.sum(axis=1)))
+    seed = pts[t0][vld[t0]]
+    if seed.shape[0] < 3:
+        raise ValueError("no frame with >= 3 valid points to seed from")
+    seed = seed - seed.mean(axis=0)
+    cov = seed.T @ seed
+    _, eigvecs = np.linalg.eigh(cov)
+    axes = eigvecs[:, ::-1]                  # principal axes, major first
+    if np.linalg.det(axes) < 0:
+        axes[:, 2] = -axes[:, 2]
+    seed = seed @ axes
+    tmpl = make_template(seed)
+
+    counts = None
+    for _ in range(max(refine_rounds, 1)):
+        fits = jax.vmap(lambda p, v: fit_body(
+            p, v, tmpl, edge_tol=edge_tol, assoc_tol=assoc_tol))(
+                jnp.asarray(pts), jnp.asarray(vld))
+        ok = np.asarray(fits.valid)
+        if ok.sum() < min_frames:
+            raise ValueError(
+                f"only {int(ok.sum())}/{T} frames fit the template — "
+                "is the capture a single rigid body?")
+        R = np.asarray(fits.R)[ok]           # (F, 3, 3)
+        tr = np.asarray(fits.t)[ok]
+        matched = np.asarray(fits.matched)[ok]          # (F, M)
+        pidx = np.asarray(fits.point_idx)[ok]           # (F, M)
+        frame_pts = pts[ok]                              # (F, N, 3)
+        M = matched.shape[1]
+        acc = np.zeros((M, 3), np.float64)
+        counts = np.zeros((M,), np.int64)
+        for f in range(matched.shape[0]):
+            for m in range(M):
+                if matched[f, m]:
+                    body_p = R[f].T @ (frame_pts[f, pidx[f, m]] - tr[f])
+                    acc[m] += body_p
+                    counts[m] += 1
+        keep = counts >= min_frames
+        if keep.sum() < 3:
+            raise ValueError("fewer than 3 markers observed consistently")
+        markers = (acc[keep] / counts[keep, None]).astype(np.float32)
+        tmpl = make_template(markers)
+    return tmpl

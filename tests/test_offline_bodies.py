@@ -85,3 +85,50 @@ def test_offline_recording_tracks_body_pose():
     tt_err = np.abs(np.asarray(res.body_tracks.pos)[2:, 0]
                     - t_eng[2:]).max()
     assert tt_err < 0.02, tt_err
+
+
+def test_learn_template_from_capture():
+    """Auto-derive the marker template from a recording (mocap 'create
+    rigid body' workflow), then track with it."""
+    from low_cost_mocap_tpu.models.offline import process_recording
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    cfg = EngineConfig()
+    T = 16
+    true_t = np.stack([
+        np.linspace(-0.25, 0.25, T),
+        np.linspace(0.15, -0.15, T),
+        np.full(T, 0.9),
+    ], axis=-1).astype(np.float32)
+    true_R = [_rot_z(0.2 * i) for i in range(T)]
+    frames = []
+    for i in range(T):
+        world = BODY @ true_R[i].T + true_t[i]
+        pts, mask = syn.observe(world, Rs, ts, rig)
+        frames.append(syn.render_frames(pts, mask, rig.image_size,
+                                        sigma=0.8))
+    frames_u8 = (np.stack(frames) * 255).astype(np.uint8)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    res = process_recording(jnp.asarray(frames_u8), Ps, K, dist,
+                            jnp.eye(4, dtype=jnp.float32), rig, cfg,
+                            chunk=8)
+
+    learned = rg.learn_template(res.object_points, res.point_valid)
+    got = learned.marker_array()
+    assert got.shape[0] == 4
+    # geometry check: learned pairwise distances match the true body's
+    want = BODY @ A_CONV.T
+    Dg = np.sort(np.linalg.norm(got[:, None] - got[None, :], axis=-1),
+                 axis=None)
+    Dw = np.sort(np.linalg.norm(want[:, None] - want[None, :], axis=-1),
+                 axis=None)
+    assert np.abs(Dg - Dw).max() < 5e-3
+
+    # and the learned template tracks the capture it was learned from
+    res2 = process_recording(jnp.asarray(frames_u8), Ps, K, dist,
+                             jnp.eye(4, dtype=jnp.float32), rig, cfg,
+                             chunk=8, body_template=learned, max_bodies=1)
+    assert np.asarray(res2.bodies.valid)[:, 0].all()
+    assert float(np.asarray(res2.bodies.rms)[:, 0].max()) < 8e-3
