@@ -234,8 +234,6 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
     must pass them in (None recomputes; fine for offline/scanned use
     where XLA hoists the loop-invariant work).
     """
-    if body_template is not None:
-        state, body_state = state
     if sparse_input:
         frames = detect.scatter_pixels(frames, image_shape)
         eff_threshold = 0.5
@@ -261,6 +259,27 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
     else:
         blobs, blob_valid, _ = detect.find_blobs_multi(
             frames, eff_threshold, max_blobs, cc_iters=cc_iters)
+
+    return track_from_blobs(
+        state, blobs, blob_valid, dt, Ps, K, dist, to_world_matrix, Fs,
+        gate_px=gate_px, max_candidates=max_candidates,
+        marker_dist1=marker_dist1, marker_dist2=marker_dist2,
+        marker_tol=marker_tol, marker_side_min=marker_side_min,
+        body_template=body_template, max_bodies=max_bodies)
+
+
+def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
+                     to_world_matrix, Fs=None, *, gate_px: float,
+                     max_candidates: int, marker_dist1: float,
+                     marker_dist2: float, marker_tol: float,
+                     marker_side_min: float, body_template=None,
+                     max_bodies: int = 2):
+    """Post-detection tail of the per-frame step: undistort -> match ->
+    world -> rigid fit -> trackers.  Split out so the camera-sharded
+    distributed step (``parallel/dist_pipeline.py``) can run detection
+    per shard and this tail replicated on the all-gathered blobs."""
+    if body_template is not None:
+        state, body_state = state
 
     # undistort centroids analytically (replaces the reference's full-frame
     # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)
