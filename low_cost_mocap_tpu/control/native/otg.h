@@ -6,9 +6,11 @@
 //
 // Divergence from the reference (documented): the reference hands
 // intermediate waypoints to Ruckig's waypoint interpolation
-// (index.py:99); here intermediate waypoints are planned as chained
+// (index.py:99); here intermediate waypoints default to chained
 // stop-to-stop segments — slightly more conservative (zero velocity at
-// each waypoint), identical limits semantics.
+// each waypoint), identical limits semantics.  models/trajectory.py's
+// `blend` option superposes half-limit profiles on top of this planner
+// to round vias without stopping (feasible by construction).
 #pragma once
 
 namespace lcm {

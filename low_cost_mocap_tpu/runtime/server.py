@@ -269,7 +269,8 @@ class MocapServer:
         setpoints = plan_waypoint_route(
             data["waypoints"], data["maxVel"], data["maxAccel"],
             data["maxJerk"], data["timestep"],
-            num_objects=self.engine.rig.num_objects)
+            num_objects=self.engine.rig.num_objects,
+            blend=float(data.get("blend", 0.0)))
         body = json.dumps({"setpoints": setpoints}).encode()
         handler.send_response(200)
         handler.send_header("Content-Type", "application/json")

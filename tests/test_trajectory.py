@@ -39,3 +39,27 @@ def test_route_single_group_is_empty():
     sp = plan_waypoint_route([[0, 0, 0, True]], [1] * 3, [1] * 3, [1] * 3,
                              0.05, num_objects=1)
     assert sp == []
+
+
+def test_plan_trajectory_blended_vias():
+    """blend > 0: rounds the via without stopping, stays within limits,
+    and still reaches the endpoints exactly."""
+    vmax, amax = 0.5, 1.0
+    ts = 0.05
+    sp = np.asarray(plan_trajectory(
+        [0, 0, 0], [1, 0, 0], [[0.5, 0.5, 0.0]],
+        max_vel=[vmax] * 3, max_accel=[amax] * 3, max_jerk=[2.0] * 3,
+        timestep=ts, blend=0.25))
+    np.testing.assert_allclose(sp[0], [0, 0, 0], atol=1e-9)
+    np.testing.assert_allclose(sp[-1], [1, 0, 0], atol=1e-6)
+    # passes NEAR the via (blend radius), moving — no stop
+    d = np.linalg.norm(sp - [0.5, 0.5, 0.0], axis=1)
+    k = int(d.argmin())
+    assert d[k] < 0.05
+    speed = np.linalg.norm(np.diff(sp, axis=0), axis=1) / ts
+    assert speed[max(k - 1, 0)] > 0.05    # not stopped at the via
+    # per-axis velocity and acceleration within the full limits
+    v = np.diff(sp, axis=0) / ts
+    a = np.diff(v, axis=0) / ts
+    assert np.abs(v).max() <= vmax + 1e-6
+    assert np.abs(a).max() <= amax + 1e-6
