@@ -75,7 +75,8 @@ def worker_main(argv=None) -> None:
     ap.add_argument("--n-points", type=int, default=512)
     ap.add_argument("--n-cams", type=int, default=4)
     ap.add_argument("--max-iters", type=int, default=8)
-    ap.add_argument("--solver", choices=("schur", "reference"),
+    ap.add_argument("--solver",
+                    choices=("schur", "reference", "live-pipeline"),
                     default="schur")
     args = ap.parse_args(argv)
 
@@ -94,6 +95,10 @@ def worker_main(argv=None) -> None:
     import numpy as np
 
     from low_cost_mocap_tpu.parallel import mesh as mesh_lib
+
+    if args.solver == "live-pipeline":
+        _run_live_pipeline(args)
+        return
 
     pts, mask, K, Rs0, ts0 = _build_scene(args.n_points, args.n_cams)
     mesh = mesh_lib.make_mesh({"point": jax.device_count()})
@@ -132,6 +137,68 @@ def worker_main(argv=None) -> None:
     tmp = args.out + f".tmp{args.process_id}"
     with open(tmp, "w") as f:
         json.dump(out, f)
+    os.replace(tmp, args.out)
+
+
+def _run_live_pipeline(args) -> None:
+    """Camera-sharded LIVE step across the process mesh (the deployment
+    shape where each host owns a camera group): every rank detects only
+    its cameras' frames, centroids cross the process boundary in ONE
+    all_gather, and all ranks report the identical replicated tracking
+    result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.models.pipeline import make_init_state
+    from low_cost_mocap_tpu.ops import camera as cam_ops
+    from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
+    from low_cost_mocap_tpu.parallel import mesh as mesh_lib
+    from low_cost_mocap_tpu.parallel.dist_pipeline import dist_frame_step
+    from low_cost_mocap_tpu.utils import synthetic as syn
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=args.n_cams)
+    cfg = EngineConfig()
+    rng = np.random.default_rng(0)
+    X = np.concatenate([
+        syn.drone_markers(np.array([0.1, -0.1, 0.9], np.float32), 0.4, rig),
+        syn.random_points(rng, 3),
+    ])
+    pts, mask = syn.observe(X, Rs, ts, rig)
+    frames = syn.render_frames(pts, mask, rig.image_size, sigma=0.8)
+    frames_u8 = (np.asarray(frames) * 255).astype(np.uint8)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    Fs = _pairwise_fundamentals(Ps)
+    mesh = mesh_lib.make_mesh({"cam": jax.device_count()})
+
+    state = make_init_state(rig)
+    t0 = time.perf_counter()
+    for _ in range(3):   # a few frames: state threads through
+        state, out = dist_frame_step(
+            mesh, state, jnp.asarray(frames_u8), jnp.asarray(1.0 / 60.0),
+            Ps, K, dist, jnp.eye(4, dtype=jnp.float32), Fs, rig, cfg)
+    jax.block_until_ready(out.object_points)
+    wall = time.perf_counter() - t0
+
+    tracked = np.asarray(out.tracked.pos)
+    tvalid = np.asarray(out.tracked.valid)
+    result = {
+        "process_id": args.process_id,
+        "num_processes": args.num_processes,
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "solver": args.solver,
+        "tracked_pos": tracked.tolist(),
+        "tracked_valid": tvalid.tolist(),
+        "n_points": int(np.asarray(out.point_valid).sum()),
+        "wall_s": wall,
+    }
+    tmp = args.out + f".tmp{args.process_id}"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
     os.replace(tmp, args.out)
 
 

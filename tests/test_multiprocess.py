@@ -33,3 +33,26 @@ def test_two_process_schur_ba_matches_single_process():
     s = float((t_d * t_ref).sum() / max((t_d * t_d).sum(), 1e-12))
     assert np.abs(s * t_d - t_ref).max() < 1e-3
     assert abs(dist[0]["cost"] - ref["cost"]) / ref["cost"] < 1e-4
+
+
+@pytest.mark.slow
+def test_two_process_camera_sharded_live_step():
+    """The camera-sharded live step across REAL process boundaries: each
+    rank detects its cameras, centroids cross in one all_gather, every
+    rank reports the identical tracked pose (the one-host-per-camera-group
+    deployment shape)."""
+    ref = run_cluster(1, local_devices=1, solver="live-pipeline",
+                      n_cams=4)[0]
+    dist = run_cluster(2, local_devices=2, solver="live-pipeline",
+                       n_cams=4)
+
+    assert dist[0]["global_devices"] == 4
+    # ranks agree bit-for-bit (replicated output)
+    assert dist[0]["tracked_pos"] == dist[1]["tracked_pos"]
+    assert dist[0]["tracked_valid"] == dist[1]["tracked_valid"]
+    # and match the single-process run
+    assert np.asarray(ref["tracked_valid"]).any()
+    assert dist[0]["tracked_valid"] == ref["tracked_valid"]
+    assert np.abs(np.asarray(dist[0]["tracked_pos"])
+                  - np.asarray(ref["tracked_pos"])).max() < 1e-5
+    assert dist[0]["n_points"] == ref["n_points"]
