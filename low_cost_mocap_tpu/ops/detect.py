@@ -102,6 +102,13 @@ def pack_frames(frames_u8: np.ndarray, threshold: float) -> np.ndarray:
     against a precomputed cutoff — fused with the bit-pack in native SIMD
     (``control/native/ingest.cc``) when the last axis is byte-aligned.
     """
+    frames_u8 = np.asarray(frames_u8)
+    if frames_u8.dtype != np.uint8:
+        # a float frame would silently pack to all-zeros through the
+        # native byte path — fail loudly instead
+        raise TypeError(
+            f"pack_frames expects uint8 frames, got {frames_u8.dtype}; "
+            "convert with (frames * 255).astype(np.uint8)")
     passes = (np.arange(256, dtype=np.float32)
               * np.float32(1.0 / 255.0)) > np.float32(threshold)
     if not passes.any():

@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--serial-device", default="/dev/ttyUSB0")
     p.add_argument("--fps", type=float, default=150.0)
     p.add_argument("--calibration", help="calibration artifact (json) to load")
+    p.add_argument("--body-markers",
+                   help="JSON [[x,y,z],...] rigid-body template (engine "
+                        "world frame) to 6-DoF-track alongside the drones")
+    p.add_argument("--max-bodies", type=int, default=2)
     p.add_argument("--artifacts-dir", default="artifacts",
                    help="directory for auto-persisted calibration state")
     args = p.parse_args(argv)
@@ -43,18 +47,31 @@ def main(argv=None):
     depth = 0 if jax.default_backend() == "cpu" else 6
     cfg = EngineConfig(target_fps=args.fps, readback_pipeline_depth=depth)
 
+    body_kw = {}
+    if args.body_markers:
+        import json as _json
+
+        body_kw = dict(
+            body_markers=tuple(tuple(m)
+                               for m in _json.loads(args.body_markers)),
+            max_bodies=args.max_bodies)
+
     if args.source == "synthetic":
         Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras)
+        if body_kw:
+            import dataclasses
+
+            rig = dataclasses.replace(rig, **body_kw)
         source = sources.SyntheticSource(rig, Rs, ts, num_drones=args.drones)
     elif args.source == "recorded":
         if not args.recording:
             p.error("--recording required with --source recorded")
         source = sources.RecordedSource(args.recording)
         rig = RigConfig(num_cameras=source.num_cameras,
-                        image_size=source.image_size)
+                        image_size=source.image_size, **body_kw)
         Rs = ts = None
     else:
-        rig = RigConfig(num_cameras=args.cameras)
+        rig = RigConfig(num_cameras=args.cameras, **body_kw)
         source = sources.PseyepySource(rig)
         Rs = ts = None
 
