@@ -138,3 +138,36 @@ def quat_to_matrix_np(q):
     import numpy as np
 
     return _quat_to_matrix(np, np.asarray(q))
+
+
+def matrix_to_quat(R):
+    """(..., 3, 3) rotation -> (..., 4) unit quaternion (w, x, y, z).
+
+    Branchless Shepperd: build all four case constructions, pick the one
+    keyed by the largest of (trace, R00, R11, R22) — numerically safe for
+    every rotation, no data-dependent control flow.
+    """
+    r = lambda i, j: R[..., i, j]
+    tr = r(0, 0) + r(1, 1) + r(2, 2)
+    # candidate squared magnitudes (all >= 0 up to rounding)
+    m = jnp.stack([1.0 + tr,
+                   1.0 + r(0, 0) - r(1, 1) - r(2, 2),
+                   1.0 - r(0, 0) + r(1, 1) - r(2, 2),
+                   1.0 - r(0, 0) - r(1, 1) + r(2, 2)], axis=-1)
+    k = jnp.argmax(m, axis=-1)
+    s = 2.0 * jnp.sqrt(jnp.maximum(
+        jnp.take_along_axis(m, k[..., None], axis=-1)[..., 0], 1e-12))
+    q_w = jnp.stack([0.25 * s, (r(2, 1) - r(1, 2)) / s,
+                     (r(0, 2) - r(2, 0)) / s, (r(1, 0) - r(0, 1)) / s],
+                    axis=-1)
+    q_x = jnp.stack([(r(2, 1) - r(1, 2)) / s, 0.25 * s,
+                     (r(0, 1) + r(1, 0)) / s, (r(0, 2) + r(2, 0)) / s],
+                    axis=-1)
+    q_y = jnp.stack([(r(0, 2) - r(2, 0)) / s, (r(0, 1) + r(1, 0)) / s,
+                     0.25 * s, (r(1, 2) + r(2, 1)) / s], axis=-1)
+    q_z = jnp.stack([(r(1, 0) - r(0, 1)) / s, (r(0, 2) + r(2, 0)) / s,
+                     (r(1, 2) + r(2, 1)) / s, 0.25 * s], axis=-1)
+    q = jnp.select([k[..., None] == 0, k[..., None] == 1,
+                    k[..., None] == 2], [q_w, q_x, q_y], q_z)
+    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(n, 1e-12)

@@ -26,8 +26,11 @@ from typing import Any, Callable
 import numpy as np
 
 from low_cost_mocap_tpu.config import EngineConfig, RigConfig
-from low_cost_mocap_tpu.models.pipeline import frame_step
+from low_cost_mocap_tpu.models.pipeline import (frame_step,
+                                                unpack_outputs)
 from low_cost_mocap_tpu.ops import kalman as kalman_ops
+from low_cost_mocap_tpu.ops.detect import sparse_ingest
+from low_cost_mocap_tpu.ops.rotations import quat_to_matrix_np
 from low_cost_mocap_tpu.runtime.serial_link import SerialLink
 from low_cost_mocap_tpu.runtime.sources import FrameSource
 
@@ -396,8 +399,6 @@ class Engine:
 
         step = self._step
         if self._fast:
-            from low_cost_mocap_tpu.ops.detect import sparse_ingest
-
             idx, ok, packed = sparse_ingest(
                 frames, self.cfg.detect_threshold, self.cfg.sparse_budget)
             if ok:
@@ -415,8 +416,6 @@ class Engine:
         # With readback_pipeline_depth > 0 the fetch is issued async and
         # harvested `depth` frames later, overlapping device->host latency
         # with subsequent frames' compute (high-latency links).
-        from low_cost_mocap_tpu.models.pipeline import unpack_outputs
-
         depth = self.cfg.readback_pipeline_depth
         if depth > 0:
             packed.copy_to_host_async()
@@ -503,7 +502,6 @@ class Engine:
                 # quat->R on host numpy: tb is already host data, and a jnp
                 # call here would dispatch to the (tunneled) device + block
                 # on readback once per body per frame
-                from low_cost_mocap_tpu.ops.rotations import quat_to_matrix_np
                 payload["tracked_bodies"] = [{
                     "bodyIndex": int(i),
                     "pos": np.asarray(tb.pos)[i].tolist(),
