@@ -80,6 +80,32 @@ class Engine:
         if artifacts_dir:
             self._load_calibration_artifact()  # resume persisted calibration
 
+        self._preprocess_frames = preprocess_frames
+        self._build_steps()
+
+        import collections
+
+        from low_cost_mocap_tpu.utils.profiling import StageTimer
+
+        self._pending = collections.deque()  # in-flight async readbacks
+        self.timer = StageTimer()
+        self._listeners: dict[str, list[Callable[[Any], None]]] = {}
+        self._thread: threading.Thread | None = None
+        self._running = False
+        self._last_frames: np.ndarray | None = None
+        self._last_out = None
+        self._frame_lock = threading.Lock()
+        self.fps = 0.0
+        self.frame_count = 0
+        self._learning_frames: list | None = None  # learn-body-template
+
+    def _build_steps(self) -> None:
+        """(Re)compile the per-frame steps for the current self.rig —
+        called at init and when learn-body-template applies a template."""
+        import jax
+
+        rig, cfg = self.rig, self.cfg
+
         def _step_packed(*args, **kw):
             from low_cost_mocap_tpu.models.pipeline import pack_outputs
 
@@ -96,7 +122,7 @@ class Engine:
             marker_dist2=rig.marker_dist_long,
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
-            do_preprocess=preprocess_frames,
+            do_preprocess=self._preprocess_frames,
             use_pallas=self._pallas,
             body_template=rig.body_template(),
             max_bodies=rig.max_bodies,
@@ -112,21 +138,6 @@ class Engine:
             _step_packed, sparse_input=True,
             image_shape=(rig.num_cameras, rig.image_size, rig.image_size),
             **_common), donate_argnums=(0,)) if self._fast else None
-
-        import collections
-
-        from low_cost_mocap_tpu.utils.profiling import StageTimer
-
-        self._pending = collections.deque()  # in-flight async readbacks
-        self.timer = StageTimer()
-        self._listeners: dict[str, list[Callable[[Any], None]]] = {}
-        self._thread: threading.Thread | None = None
-        self._running = False
-        self._last_frames: np.ndarray | None = None
-        self._last_out = None
-        self._frame_lock = threading.Lock()
-        self.fps = 0.0
-        self.frame_count = 0
 
     # ------------------------------------------------------------ events
 
@@ -254,6 +265,46 @@ class Engine:
         self.set_to_world_matrix(np.asarray(M))
         self.emit("to-world-coords-matrix",
                   {"to_world_coords_matrix": np.asarray(M).tolist()})
+
+    def handle_learn_body_template(self, data):
+        """Learn a rigid-body template from live triangulated points
+        (``ops/rigid_general.learn_template`` — the mocap "create rigid
+        body from capture" workflow; no reference analogue).
+
+        start: begin accumulating frames (requires triangulation running).
+        stop: learn, emit ``body-template``; with ``apply``: rebuild the
+        compiled step with the learned template and track it live.
+        """
+        if data["startOrStop"] == "start":
+            self._learning_frames = []
+            return
+        frames, self._learning_frames = self._learning_frames, None
+        if not frames:
+            self.emit("body-template", {"error": "no frames captured"})
+            return
+        from low_cost_mocap_tpu.ops.rigid_general import learn_template
+
+        try:
+            tmpl = learn_template(np.stack([f[0] for f in frames]),
+                                  np.stack([f[1] for f in frames]))
+        except ValueError as e:
+            self.emit("body-template", {"error": str(e)})
+            return
+        payload = {"markers": [list(m) for m in tmpl.markers],
+                   "frames_used": len(frames), "error": None}
+        if data.get("apply"):
+            import dataclasses
+
+            from low_cost_mocap_tpu.models.pipeline import make_init_state
+
+            self.rig = dataclasses.replace(
+                self.rig, body_markers=tmpl.markers,
+                max_bodies=int(data.get("maxBodies", self.rig.max_bodies)))
+            self._build_steps()          # recompile with the template
+            self._kalman_state = make_init_state(self.rig)
+            self._pending.clear()        # old-layout packed outputs
+            payload["applied"] = True
+        self.emit("body-template", payload)
 
     def handle_arm_drone(self, data):
         # computer_code/api/index.py:114-128
@@ -441,6 +492,9 @@ class Engine:
                 self.emit("image-points", image_points)
         elif self.is_triangulating_points:
             pv = np.asarray(out.point_valid)
+            if self._learning_frames is not None:   # learn-body-template
+                self._learning_frames.append(
+                    (np.asarray(out.object_points), pv))
             obj_pts = np.asarray(out.object_points)[pv]
             errs = np.asarray(out.point_errors)[pv]
             objects = []

@@ -206,3 +206,40 @@ def test_live_body_tracking_agrees_with_triple_locator(scene):
     assert np.abs(np.asarray(tb["pos"]) - np.asarray(body["t"])).max() < 0.01
     Rt = np.asarray(tb["R"])
     assert np.abs(Rt @ Rt.T - np.eye(3)).max() < 1e-4
+
+
+def test_learn_body_template_live(scene):
+    """'Create rigid body from capture' over the live event surface: learn
+    the drone's own LED triple from triangulated frames, apply it, and the
+    engine starts 6-DoF-tracking it without a restart."""
+    Rs, ts, rig = scene[0], scene[1], scene[2]
+    cfg = scene[3]
+    source = SyntheticSource(rig, Rs, ts, num_drones=1, orbit_hz=0.0)
+    eng = Engine(rig, cfg, source, CollectingLink())
+    events = []
+    eng.on("body-template", events.append)
+    obj_events = []
+    eng.on("object-points", obj_events.append)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist(),
+    })
+    eng.handle("learn-body-template", {"startOrStop": "start"})
+    for _ in range(6):
+        eng.process_frame(source.read(), 1 / 60)
+    eng.handle("learn-body-template", {"startOrStop": "stop", "apply": True,
+                                       "maxBodies": 1})
+    assert len(events) == 1
+    tpl = events[0]
+    assert tpl["error"] is None
+    assert len(tpl["markers"]) == 3          # the drone's LED triple
+    assert tpl["applied"]
+    # the engine now 6-DoF-tracks the learned body live
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    for _ in range(3):
+        eng.process_frame(source.read(), 1 / 60)
+    last = obj_events[-1]
+    assert len(last["bodies"]) == 1
+    assert last["bodies"][0]["rms"] < 5e-3
+    assert len(last["tracked_bodies"]) == 1
