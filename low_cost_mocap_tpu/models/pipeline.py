@@ -47,6 +47,10 @@ class FrameOutputs(NamedTuple):
     point_valid: jnp.ndarray    # (C*K,)
     objects: rigid.LocatedObjects       # raw rigid-body fits
     tracked: kalman.TrackedObjects      # Kalman/low-pass output
+    point_obs: Any = None       # (C*K, C, 2) winner's per-camera pixels
+    point_obs_mask: Any = None  # (C*K, C) — correspondence-resolved
+    #                             measurements (with_obs=True; the engine
+    #                             enables them for live recalibration BA)
     bodies: Any = None          # rigid_general.LocatedBodies (I, ...) when
     #                             a body template is configured
     tracked_bodies: Any = None  # body_tracker.TrackedBodies (I, ...) —
@@ -77,6 +81,11 @@ def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
         out.tracked.heading.reshape(-1),
         out.tracked.valid.astype(jnp.float32).reshape(-1),
     ]
+    if out.point_obs is not None:
+        parts += [
+            out.point_obs.reshape(-1),
+            out.point_obs_mask.astype(jnp.float32).reshape(-1),
+        ]
     if out.bodies is not None:
         parts += [
             out.bodies.R.reshape(-1),
@@ -92,29 +101,37 @@ def pack_outputs(out: FrameOutputs) -> jnp.ndarray:
 
 
 def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
-                   num_objects: int, num_bodies: int = 0) -> FrameOutputs:
+                   num_objects: int, num_bodies: int = 0,
+                   with_obs: bool = False) -> FrameOutputs:
     """Inverse of ``pack_outputs`` on a host numpy array.
 
     ``num_bodies``: the ``max_bodies`` the step was compiled with when a
-    body template is configured, else 0."""
+    body template is configured, else 0; ``with_obs`` mirrors the step's
+    ``with_obs`` flag."""
     C, K, O, I = num_cameras, max_blobs, num_objects, num_bodies
     N = C * K
     sizes = [C * K * 2, C * K, N * 3, N, N, N * 3, N, N, N, N,
              O * 3, O * 3, O, O] \
+        + ([N * C * 2, N * C] if with_obs else []) \
         + ([I * 9, I * 3, I, I, I * 3, I * 3, I * 4, I] if I else [])
     splits = np.split(np.asarray(arr), np.cumsum(sizes)[:-1])
-    (blob_px, blob_valid, obj_pts, errs, pvalid, lpos, lhead, lerr, lidx,
-     lvalid, tpos, tvel, thead, tvalid) = splits[:14]
+    (blob_px, blob_valid, obj_pts, errs, pvalid, lpos, lhead,
+     lerr, lidx, lvalid, tpos, tvel, thead, tvalid) = splits[:14]
     import low_cost_mocap_tpu.ops.rigid as rigid_mod
     import low_cost_mocap_tpu.ops.kalman as kalman_mod
 
+    n = 14
+    pobs = pobs_m = None
+    if with_obs:
+        pobs, pobs_m = splits[n:n + 2]
+        n += 2
     bodies = None
     tracked_bodies = None
     if I:
         from low_cost_mocap_tpu.ops.body_tracker import TrackedBodies
         from low_cost_mocap_tpu.ops.rigid_general import LocatedBodies
 
-        bR, bt, brms, bvalid, tbpos, tbvel, tbquat, tbvalid = splits[14:]
+        bR, bt, brms, bvalid, tbpos, tbvel, tbquat, tbvalid = splits[n:]
         bodies = LocatedBodies(R=bR.reshape(I, 3, 3), t=bt.reshape(I, 3),
                                rms=brms, valid=bvalid > 0.5)
         tracked_bodies = TrackedBodies(
@@ -127,6 +144,8 @@ def unpack_outputs(arr: np.ndarray, num_cameras: int, max_blobs: int,
         object_points=obj_pts.reshape(N, 3),
         point_errors=errs,
         point_valid=pvalid > 0.5,
+        point_obs=pobs.reshape(N, C, 2) if with_obs else None,
+        point_obs_mask=(pobs_m.reshape(N, C) > 0.5) if with_obs else None,
         objects=rigid_mod.LocatedObjects(
             pos=lpos.reshape(N, 3), heading=lhead, error=lerr,
             index=lidx.astype(np.int32), valid=lvalid > 0.5),
@@ -213,7 +232,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
                sparse_input: bool = False,
                image_shape: tuple[int, int, int] | None = None,
                use_pallas: bool = False,
-               body_template=None, max_bodies: int = 2):
+               body_template=None, max_bodies: int = 2,
+               with_obs: bool = False):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
@@ -265,7 +285,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
         gate_px=gate_px, max_candidates=max_candidates,
         marker_dist1=marker_dist1, marker_dist2=marker_dist2,
         marker_tol=marker_tol, marker_side_min=marker_side_min,
-        body_template=body_template, max_bodies=max_bodies)
+        body_template=body_template, max_bodies=max_bodies,
+        with_obs=with_obs)
 
 
 def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
@@ -273,7 +294,7 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                      max_candidates: int, marker_dist1: float,
                      marker_dist2: float, marker_tol: float,
                      marker_side_min: float, body_template=None,
-                     max_bodies: int = 2):
+                     max_bodies: int = 2, with_obs: bool = False):
     """Post-detection tail of the per-frame step: undistort -> match ->
     world -> rigid fit -> trackers.  Split out so the camera-sharded
     distributed step (``parallel/dist_pipeline.py``) can run detection
@@ -289,7 +310,7 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
     match = correspond.match_points(blobs_u, blob_valid, Ps,
                                     gate_px=gate_px,
                                     max_candidates=max_candidates,
-                                    Fs=Fs)
+                                    Fs=Fs, with_obs=with_obs)
     obj_pts_world = world.to_world(match["object_points"], to_world_matrix)
     obj_pts_world = jnp.where(match["valid"][:, None], obj_pts_world, 0.0)
 
@@ -323,6 +344,8 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
         object_points=obj_pts_world,
         point_errors=match["errors"],
         point_valid=match["valid"],
+        point_obs=match.get("obs"),
+        point_obs_mask=match.get("obs_mask"),
         objects=located,
         tracked=tracked,
         bodies=bodies,

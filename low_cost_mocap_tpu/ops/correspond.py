@@ -161,7 +161,7 @@ def _hypothesis_tables(C: int, n_opt: int):
 def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
                  dedupe_eps: float = 0.02, mode: str = "auto",
                  beam_width: int = 0, miss_penalty_px: float = -1.0,
-                 Fs=None):
+                 Fs=None, with_obs: bool = False):
     """Full-frame correspondence + triangulation.
 
     pts: (C, K, 2) detected blob centroids; valid: (C, K); Ps: (C, 3, 4).
@@ -219,7 +219,7 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
 
     if mode == "assoc":
         return _match_assoc(pts, valid, Ps, d, gated, root_mask,
-                            gate_px, dedupe_eps)
+                            gate_px, dedupe_eps, with_obs)
 
     # top-`max_candidates` gated candidate slots per (root, later camera)
     d_masked = jnp.where(gated, d, _INF)                    # (C, K, C, K)
@@ -273,7 +273,8 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
 
         # per-root-camera winner: hypotheses are contiguous per rc, so the
         # argmin runs over static slices (rc-major output order preserved)
-        out_pts, out_err = [], []
+        sel = sel.reshape(K, H, C, 2)
+        out_pts, out_err, out_obs, out_om = [], [], [], []
         h0 = 0
         for rc in range(C):
             n_h = n_opt ** (C - 1 - rc)
@@ -283,14 +284,23 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
                 X[:, h0:h0 + n_h], best[:, None, None], axis=1)[:, 0])
             out_err.append(jnp.take_along_axis(
                 err[:, h0:h0 + n_h], best[:, None], axis=1)[:, 0])
+            if with_obs:
+                out_obs.append(jnp.take_along_axis(
+                    sel[:, h0:h0 + n_h], best[:, None, None, None],
+                    axis=1)[:, 0])
+                out_om.append(jnp.take_along_axis(
+                    msk[:, h0:h0 + n_h], best[:, None, None], axis=1)[:, 0])
             h0 += n_h
         object_points = jnp.concatenate(out_pts)            # (C*K, 3)
         errors = jnp.concatenate(out_err)
         ok = jnp.isfinite(errors) & root_mask.reshape(C * K)
         errors = jnp.where(ok, errors, _INF)
-        return _finalize(object_points, errors, ok, dedupe_eps)
+        return _finalize(
+            object_points, errors, ok, dedupe_eps,
+            jnp.concatenate(out_obs) if with_obs else None,
+            jnp.concatenate(out_om) if with_obs else None)
 
-    out_pts, out_err, out_ok = [], [], []
+    out_pts, out_err, out_ok, out_obs, out_om = [], [], [], [], []
     for rc in range(C):
         later = list(range(rc + 1, C))
         B = beam_width
@@ -334,21 +344,27 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
             err = jnp.where(ok, err, _INF)
             score = jnp.where(ok, selection_score(err, msk, rc), _INF)
             best = jnp.argmin(score)
-            return X[best], err[best], jnp.isfinite(err[best])
+            return (X[best], err[best], jnp.isfinite(err[best]),
+                    sel[best], msk[best])
 
-        Xr, er, okr = jax.vmap(per_root)(jnp.arange(K))
+        Xr, er, okr, obr, omr = jax.vmap(per_root)(jnp.arange(K))
         out_pts.append(Xr)
         out_err.append(er)
         out_ok.append(okr & root_mask[rc])
+        out_obs.append(obr)
+        out_om.append(omr)
 
     object_points = jnp.concatenate(out_pts)            # (C*K, 3)
     errors = jnp.concatenate(out_err)
     ok = jnp.concatenate(out_ok)
     errors = jnp.where(ok, errors, _INF)
-    return _finalize(object_points, errors, ok, dedupe_eps)
+    return _finalize(object_points, errors, ok, dedupe_eps,
+                     jnp.concatenate(out_obs) if with_obs else None,
+                     jnp.concatenate(out_om) if with_obs else None)
 
 
-def _match_assoc(pts, valid, Ps, d, gated, root_mask, gate_px, dedupe_eps):
+def _match_assoc(pts, valid, Ps, d, gated, root_mask, gate_px,
+                 dedupe_eps, with_obs=False):
     """Constant-depth large-rig matcher: seed, associate, re-triangulate.
 
     Each root seeds a 2-view triangulation with its single best epipolar
@@ -406,11 +422,18 @@ def _match_assoc(pts, valid, Ps, d, gated, root_mask, gate_px, dedupe_eps):
     err = tri.reprojection_errors(sel, X, Ps, msk)
     ok = jnp.isfinite(err) & root_mask.reshape(N) & has_seed.reshape(N)
     err = jnp.where(ok, err, _INF)
-    return _finalize(X, err, ok, dedupe_eps)
+    return _finalize(X, err, ok, dedupe_eps,
+                     *((sel, msk) if with_obs else (None, None)))
 
 
-def _finalize(object_points, errors, ok, dedupe_eps):
-    """Ghost dedupe + output packaging shared by both matcher modes."""
+def _finalize(object_points, errors, ok, dedupe_eps, obs=None,
+              obs_mask=None):
+    """Ghost dedupe + output packaging shared by all matcher modes.
+
+    ``obs``/``obs_mask`` (optional, ``with_obs=True``): the winner's
+    per-camera 2D observations ((C*K, C, 2), (C*K, C)) — the
+    correspondence-resolved measurements a downstream refinement
+    (live recalibration BA) needs."""
     if dedupe_eps > 0:
         # drop a point when a strictly better (or equal-error, lower-index)
         # valid point lies within dedupe_eps
@@ -425,4 +448,9 @@ def _finalize(object_points, errors, ok, dedupe_eps):
         errors = jnp.where(ok, errors, _INF)
 
     object_points = jnp.where(ok[:, None], object_points, 0.0)
-    return {"object_points": object_points, "errors": errors, "valid": ok}
+    out = {"object_points": object_points, "errors": errors, "valid": ok}
+    if obs is not None:
+        obs_mask = obs_mask & ok[:, None]
+        out["obs"] = jnp.where(obs_mask[..., None], obs, 0.0)
+        out["obs_mask"] = obs_mask
+    return out

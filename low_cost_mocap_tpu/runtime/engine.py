@@ -98,6 +98,7 @@ class Engine:
         self.fps = 0.0
         self.frame_count = 0
         self._learning_frames: list | None = None  # learn-body-template
+        self._refine_obs: list | None = None        # refine-camera-pose
 
     def _build_steps(self) -> None:
         """(Re)compile the per-frame steps for the current self.rig —
@@ -126,6 +127,8 @@ class Engine:
             use_pallas=self._pallas,
             body_template=rig.body_template(),
             max_bodies=rig.max_bodies,
+            with_obs=True,   # live recalibration needs the matcher's
+                             # correspondence-resolved observations
         )
         self._num_bodies = rig.max_bodies if rig.body_markers else 0
         self._step = jax.jit(functools.partial(
@@ -265,6 +268,74 @@ class Engine:
         self.set_to_world_matrix(np.asarray(M))
         self.emit("to-world-coords-matrix",
                   {"to_world_coords_matrix": np.asarray(M).tolist()})
+
+    def handle_refine_camera_pose(self, data):
+        """Live recalibration: refine extrinsics from the correspondence-
+        resolved observations collected DURING tracking, without stopping
+        it (no reference analogue — there, recalibration means stopping
+        and redoing the wand capture).
+
+        start: begin accumulating the matcher's winner observations
+        (``FrameOutputs.point_obs``) while triangulation runs.
+        stop: bundle-adjust from the CURRENT extrinsics over the collected
+        points, apply, and emit ``camera-pose`` with the refined error.
+        """
+        if data["startOrStop"] == "start":
+            self._refine_obs = []
+            return
+        obs_frames, self._refine_obs = self._refine_obs, None
+        if self.camera_poses is None:
+            self.emit("camera-pose", {"error": None,
+                                      "refine_error": "not calibrated"})
+            return
+        pts = (np.concatenate([o for o, _ in obs_frames])
+               if obs_frames else np.zeros((0, 1, 2), np.float32))
+        msk = (np.concatenate([m for _, m in obs_frames])
+               if obs_frames else np.zeros((0, 1), bool))
+        keep = msk.sum(axis=1) >= 2
+        pts, msk = pts[keep], msk[keep]
+        if len(pts) < 24:
+            self.emit("camera-pose", {
+                "error": None,
+                "refine_error": f"only {len(pts)} usable points"})
+            return
+        import jax.numpy as jnp
+
+        from low_cost_mocap_tpu.ops import ba as ba_ops
+        from low_cost_mocap_tpu.ops import triangulate as tri_ops
+
+        Rs0, ts0 = self.camera_poses
+        # BA's parameterisation anchors camera 0 at identity; gauge the
+        # current poses into the camera-0 frame, refine, and un-gauge so
+        # camera 0's absolute pose (and the world matrix derived under it)
+        # is the fixed anchor of the refinement
+        R0, t0 = np.asarray(Rs0[0]), np.asarray(ts0[0]).reshape(3)
+        Rs_g = np.einsum("cij,kj->cik", np.asarray(Rs0), R0)  # R_i R0^T
+        ts_g = (np.asarray(ts0).reshape(-1, 3)
+                - np.einsum("cij,j->ci", Rs_g, t0))
+        res = ba_ops.bundle_adjust(
+            jnp.asarray(pts), jnp.asarray(msk), self._K,
+            jnp.asarray(Rs_g.astype(np.float32)),
+            jnp.asarray(ts_g.astype(np.float32)),
+            num_cameras=self.rig.num_cameras,
+            max_iters=self.cfg.ba_max_iters, ftol=self.cfg.ba_ftol)
+        Rg, tg = np.asarray(res.Rs), np.asarray(res.ts)
+        Rs = np.einsum("cij,jk->cik", Rg, R0)
+        ts = tg + np.einsum("cij,j->ci", Rg, t0)
+        from low_cost_mocap_tpu.ops.camera import projection_matrix
+
+        Ps = projection_matrix(self._K, jnp.asarray(Rs), jnp.asarray(ts))
+        X, _ = tri_ops.triangulate_points(jnp.asarray(pts), Ps,
+                                          jnp.asarray(msk))
+        errs = tri_ops.reprojection_errors(jnp.asarray(pts), X, Ps,
+                                           jnp.asarray(msk))
+        mean_err = float(np.sqrt(np.mean(np.asarray(errs))))
+        self.set_camera_poses(Rs, ts)
+        self.emit("camera-pose", {
+            "error": mean_err,
+            "camera_poses": camera_poses_to_serializable(Rs, ts),
+            "refined_from_points": int(len(pts)),
+        })
 
     def handle_learn_body_template(self, data):
         """Learn a rigid-body template from live triangulated points
@@ -476,7 +547,7 @@ class Engine:
             packed = self._pending.popleft()
         out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
                              self.cfg.max_blobs, self.rig.num_objects,
-                             num_bodies=self._num_bodies)
+                             num_bodies=self._num_bodies, with_obs=True)
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent
@@ -495,6 +566,14 @@ class Engine:
             if self._learning_frames is not None:   # learn-body-template
                 self._learning_frames.append(
                     (np.asarray(out.object_points), pv))
+            if self._refine_obs is not None and pv.any():
+                # live recalibration: keep the winner observations of this
+                # frame's valid points (cap the collection so a forgotten
+                # session can't grow unbounded)
+                if sum(len(o) for o, _ in self._refine_obs) < 4096:
+                    self._refine_obs.append(
+                        (np.asarray(out.point_obs)[pv],
+                         np.asarray(out.point_obs_mask)[pv]))
             obj_pts = np.asarray(out.object_points)[pv]
             errs = np.asarray(out.point_errors)[pv]
             objects = []

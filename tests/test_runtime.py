@@ -243,3 +243,62 @@ def test_learn_body_template_live(scene):
     assert len(last["bodies"]) == 1
     assert last["bodies"][0]["rms"] < 5e-3
     assert len(last["tracked_bodies"]) == 1
+
+
+def test_refine_camera_pose_live(scene):
+    """Live recalibration: a slightly-off calibration is refined from the
+    matcher's correspondence-resolved observations WHILE tracking runs,
+    and per-point reprojection errors drop."""
+    Rs, ts, rig, cfg = scene
+    rng = np.random.default_rng(7)
+    # perturb extrinsics: ~0.01 rad rotations + 1 cm translations
+    def small_rot(r):
+        a, b, c = r
+        Rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                       [0, np.sin(a), np.cos(a)]])
+        Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0],
+                       [-np.sin(b), 0, np.cos(b)]])
+        return (Rx @ Ry).astype(np.float32)
+    Rs_p = np.stack([small_rot(rng.normal(scale=0.01, size=3)) @ R
+                     for R in Rs]).astype(np.float32)
+    ts_p = (ts + rng.normal(scale=0.01, size=ts.shape)).astype(np.float32)
+
+    # deterministic frames: drone swept through the volume on a script
+    # (a wall-clock orbiting source makes geometry depend on host load)
+    def frame_at(i):
+        phase = 2 * np.pi * i / 40.0
+        pos = np.array([0.35 * np.cos(phase), 0.35 * np.sin(phase),
+                        0.6 + 0.15 * np.sin(2 * phase)], np.float32)
+        X = syn.drone_markers(pos, 0.0, rig)
+        pts, mask = syn.observe(X, Rs, ts, rig)
+        return (np.asarray(syn.render_frames(
+            pts, mask, rig.image_size, sigma=0.8)) * 255).astype(np.uint8)
+
+    source = SyntheticSource(rig, Rs, ts, num_drones=0)
+    eng = Engine(rig, cfg, source, CollectingLink())
+    events, poses = [], []
+    eng.on("object-points", events.append)
+    eng.on("camera-pose", poses.append)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs_p, ts_p),
+        "toWorldCoordsMatrix": np.eye(4).tolist(),
+    })
+    def med_err(evs):
+        errs = [e for ev in evs for e in ev["errors"]]
+        return float(np.median(errs))
+
+    eng.handle("refine-camera-pose", {"startOrStop": "start"})
+    for i in range(30):   # scripted sweep through the volume
+        eng.process_frame(frame_at(i), 1 / 60)
+    before = med_err(events)
+    eng.handle("refine-camera-pose", {"startOrStop": "stop"})
+    assert len(poses) == 1
+    assert poses[0]["refined_from_points"] >= 30
+
+    events.clear()
+    for i in range(10):
+        eng.process_frame(frame_at(30 + i), 1 / 60)
+    after = med_err(events)
+    assert after < before * 0.5, (before, after)
+    assert after < 0.3  # sub-pixel after refinement
