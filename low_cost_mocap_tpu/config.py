@@ -73,6 +73,11 @@ class RigConfig:
     # the engine's world frame, 6-DoF-fit per frame (ops/rigid_general.py).
     body_markers: tuple = ()           # ((x, y, z), ...); () = disabled
     max_bodies: int = 2                # instances extracted per frame
+    # Additional DISTINCT body templates tracked simultaneously (multiple
+    # prop types in one capture): each entry is (markers, max_instances)
+    # with markers = ((x, y, z), ...).  ``body_markers``/``max_bodies``
+    # above is shorthand for the first entry.
+    body_sets: tuple = ()              # (((xyz, ...), max_instances), ...)
 
     def __post_init__(self):
         if not self.cameras:
@@ -90,6 +95,26 @@ class RigConfig:
         from low_cost_mocap_tpu.ops.rigid_general import make_template
 
         return make_template(np.asarray(self.body_markers, np.float32))
+
+    def body_sets_resolved(self) -> tuple:
+        """All configured body templates as ((BodyTemplate, max_inst), ...).
+
+        ``body_markers``/``max_bodies`` (when set) is entry 0, followed by
+        every ``body_sets`` entry.  Hashable (templates are NamedTuples of
+        tuples), so the result is a valid static jit argument."""
+        from low_cost_mocap_tpu.ops.rigid_general import make_template
+
+        sets = []
+        if self.body_markers:
+            sets.append((self.body_template(), int(self.max_bodies)))
+        for markers, max_inst in self.body_sets:
+            sets.append((make_template(np.asarray(markers, np.float32)),
+                         int(max_inst)))
+        return tuple(sets)
+
+    def total_body_slots(self) -> int:
+        """Sum of max_instances across all configured body sets."""
+        return sum(mi for _, mi in self.body_sets_resolved())
 
     # --- stacked array views (device-friendly) ---
     def K_stack(self) -> np.ndarray:
@@ -173,6 +198,10 @@ def load_config(path: str) -> tuple[RigConfig, EngineConfig]:
     if "body_markers" in rig_d:
         rig_d["body_markers"] = tuple(
             tuple(m) for m in rig_d["body_markers"])
+    if "body_sets" in rig_d:
+        rig_d["body_sets"] = tuple(
+            (tuple(tuple(m) for m in markers), int(max_inst))
+            for markers, max_inst in rig_d["body_sets"])
     rig = RigConfig(cameras=cams, **rig_d)
     engine = EngineConfig(**blob["engine"])
     return rig, engine

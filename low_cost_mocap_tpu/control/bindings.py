@@ -82,6 +82,11 @@ def _load() -> ctypes.CDLL:
                                      ctypes.c_int64,
                                      ctypes.POINTER(ctypes.c_int32),
                                      ctypes.c_int64]
+
+    lib.lcm_detect_blobs_multi.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -228,6 +233,29 @@ def pack_bits(frames_u8: np.ndarray, cutoff: int) -> np.ndarray:
         np.uint8(cutoff),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.reshape(*frames_u8.shape[:-1], frames_u8.shape[-1] // 8)
+
+
+def detect_blobs(packed: np.ndarray, height: int, width: int,
+                 max_blobs: int):
+    """Host-side blob detection over packed 1-bit frames (native CCL).
+
+    packed: (C, H, W//8) uint8 MSB-first bitmap (``pack_bits`` output).
+    Returns (centroids (C, K, 2) f32 xy, valid (C, K) bool, sizes (C, K)).
+    Semantics match ``ops.detect.find_blobs_multi`` on the unpacked frames
+    (raster-order components, binary-mass f32 centroids) — see detect.cc.
+    """
+    flat = np.ascontiguousarray(packed).reshape(-1)
+    C = packed.shape[0]
+    cent = np.zeros((C, max_blobs, 2), np.float32)
+    valid = np.zeros((C, max_blobs), np.uint8)
+    sizes = np.zeros((C, max_blobs), np.float32)
+    get_lib().lcm_detect_blobs_multi(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
+        height, width, max_blobs,
+        cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return cent, valid.astype(bool), sizes
 
 
 def extract_bits(packed: np.ndarray, max_out: int) -> tuple[np.ndarray, int]:

@@ -40,7 +40,8 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
                       cfg: EngineConfig, dts=None, packed: bool = False,
                       sparse: bool = False, chunk: int = 32,
                       use_pallas: bool | None = None,
-                      body_template=None, max_bodies: int = 2):
+                      body_template=None, max_bodies: int = 2,
+                      body_sets=None):
     """Run a full recording through vision + tracking in one jit.
 
     frames_seq: (T, C, H, W) uint8, (T, C, H, W//8) when ``packed``, or
@@ -57,6 +58,10 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     body_template: a ``ops.rigid_general.BodyTemplate`` — when given, up to
     ``max_bodies`` instances are 6-DoF-fit per frame (``SequenceResult
     .bodies``), alongside the reference-style drone-triple tracking.
+    body_sets: tuple of (BodyTemplate, max_instances) — multiple DISTINCT
+    templates fit simultaneously per frame, each consuming its matched
+    points before the next (outputs concatenated over slots in set order);
+    ``body_template``/``max_bodies`` is single-set shorthand.
     """
     import jax as _jax
 
@@ -65,15 +70,17 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     T = frames_seq.shape[0]
     if dts is None:
         dts = jnp.full((T,), 1.0 / cfg.target_fps, jnp.float32)
+    if body_sets is None and body_template is not None:
+        body_sets = ((body_template, int(max_bodies)),)
     run = _compiled_run(rig, cfg, bool(packed), bool(sparse), int(chunk),
-                        bool(use_pallas), body_template, int(max_bodies))
+                        bool(use_pallas), body_sets)
     return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                   sparse: bool, chunk: int, use_pallas: bool,
-                  body_template=None, max_bodies: int = 2):
+                  body_sets=None):
     """Cache the compiled sequence program per (rig, cfg, mode) — building
     the jit inline made every call retrace AND recompile."""
 
@@ -109,11 +116,19 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                                    tol=rig.marker_dist_tol,
                                    side_min=rig.marker_side_min,
                                    ax_h1=0, ax_h2=2)
-        if body_template is not None:
+        if body_sets:
+            import jax as _jax
+
             from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
 
-            bodies = locate_bodies(pts_w, m["valid"], body_template,
-                                   max_instances=max_bodies)
+            live = m["valid"]
+            parts = []
+            for tmpl, max_inst in body_sets:
+                b, live = locate_bodies(pts_w, live, tmpl,
+                                        max_instances=max_inst,
+                                        return_live=True)
+                parts.append(b)
+            bodies = _jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
         else:
             bodies = None
         return pts_w, m["valid"], m["errors"], loc, bodies
@@ -144,15 +159,22 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
         if bodies is not None:
             from low_cost_mocap_tpu.ops import body_tracker
 
-            bst0 = body_tracker.init_state(max_bodies)
-
             def body_step(st, inp):
                 b_t, b_R, b_rms, b_valid, dt = inp
                 return body_tracker.update(st, b_t, b_R, b_rms, b_valid, dt)
 
-            _, body_tracks = jax.lax.scan(
-                body_step, bst0,
-                (bodies.t, bodies.R, bodies.rms, bodies.valid, dts))
+            # one tracker per template set over its slot slice (static)
+            track_parts, off = [], 0
+            for _, max_inst in body_sets:
+                sl = slice(off, off + max_inst)
+                _, tp = jax.lax.scan(
+                    body_step, body_tracker.init_state(max_inst),
+                    (bodies.t[:, sl], bodies.R[:, sl], bodies.rms[:, sl],
+                     bodies.valid[:, sl], dts))
+                track_parts.append(tp)
+                off += max_inst
+            body_tracks = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *track_parts)
         return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid,
                               tracked, bodies, body_tracks)
 

@@ -195,8 +195,7 @@ class MocapPipeline:
                 marker_tol=rig.marker_dist_tol,
                 marker_side_min=rig.marker_side_min,
                 do_preprocess=preprocess_frames,
-                body_template=rig.body_template(),
-                max_bodies=rig.max_bodies,
+                body_sets=rig.body_sets_resolved(),
             ),
             static_argnames=(),
             donate_argnums=(0,),
@@ -214,12 +213,15 @@ class MocapPipeline:
 
 def make_init_state(rig: RigConfig):
     """Initial tracker state for ``frame_step`` under this rig config:
-    a KalmanState, plus a BodyTrackState when bodies are configured."""
+    a KalmanState, plus one BodyTrackState per configured body set
+    (``rig.body_sets_resolved()`` — multiple distinct templates tracked
+    simultaneously)."""
     ks = kalman.init_state(rig.num_objects)
-    if rig.body_markers:
+    sets = rig.body_sets_resolved()
+    if sets:
         from low_cost_mocap_tpu.ops import body_tracker
 
-        return (ks, body_tracker.init_state(rig.max_bodies))
+        return (ks, tuple(body_tracker.init_state(mi) for _, mi in sets))
     return ks
 
 
@@ -233,7 +235,7 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
                image_shape: tuple[int, int, int] | None = None,
                use_pallas: bool = False,
                body_template=None, max_bodies: int = 2,
-               with_obs: bool = False):
+               body_sets=None, with_obs: bool = False):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
@@ -286,7 +288,7 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
         marker_dist1=marker_dist1, marker_dist2=marker_dist2,
         marker_tol=marker_tol, marker_side_min=marker_side_min,
         body_template=body_template, max_bodies=max_bodies,
-        with_obs=with_obs)
+        body_sets=body_sets, with_obs=with_obs)
 
 
 def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
@@ -294,13 +296,22 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                      max_candidates: int, marker_dist1: float,
                      marker_dist2: float, marker_tol: float,
                      marker_side_min: float, body_template=None,
-                     max_bodies: int = 2, with_obs: bool = False):
+                     max_bodies: int = 2, body_sets=None,
+                     with_obs: bool = False):
     """Post-detection tail of the per-frame step: undistort -> match ->
     world -> rigid fit -> trackers.  Split out so the camera-sharded
     distributed step (``parallel/dist_pipeline.py``) can run detection
-    per shard and this tail replicated on the all-gathered blobs."""
-    if body_template is not None:
-        state, body_state = state
+    per shard and this tail replicated on the all-gathered blobs.
+
+    ``body_sets``: tuple of (BodyTemplate, max_instances) — multiple
+    DISTINCT rigid-body templates tracked simultaneously (each template
+    consumes its matched points before the next is fit; per-set tracker
+    states; outputs concatenated over all slots in set order).
+    ``body_template``/``max_bodies`` is single-set shorthand."""
+    if body_sets is None and body_template is not None:
+        body_sets = ((body_template, max_bodies),)
+    if body_sets:
+        state, body_states = state
 
     # undistort centroids analytically (replaces the reference's full-frame
     # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)
@@ -325,15 +336,27 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
     new_state, tracked = kalman.update(
         state, located.pos, located.heading, located.index, located.valid, dt)
 
-    if body_template is not None:
+    if body_sets:
         from low_cost_mocap_tpu.ops import body_tracker
         from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
 
-        bodies = locate_bodies(obj_pts_world, match["valid"], body_template,
-                               max_instances=max_bodies)
-        new_body_state, tracked_bodies = body_tracker.update(
-            body_state, bodies.t, bodies.R, bodies.rms, bodies.valid, dt)
-        new_state = (new_state, new_body_state)
+        if isinstance(body_states, body_tracker.BodyTrackState):
+            body_states = (body_states,)  # legacy single-set state
+        live = match["valid"]
+        b_parts, t_parts, new_bstates = [], [], []
+        for si, (tmpl, max_inst) in enumerate(body_sets):
+            b, live = locate_bodies(obj_pts_world, live, tmpl,
+                                    max_instances=max_inst,
+                                    return_live=True)
+            nbs, tb = body_tracker.update(
+                body_states[si], b.t, b.R, b.rms, b.valid, dt)
+            b_parts.append(b)
+            t_parts.append(tb)
+            new_bstates.append(nbs)
+        bodies = jax.tree.map(lambda *xs: jnp.concatenate(xs), *b_parts)
+        tracked_bodies = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *t_parts)
+        new_state = (new_state, tuple(new_bstates))
     else:
         bodies = None
         tracked_bodies = None

@@ -105,19 +105,30 @@ def residuals(params, pts, mask, K_stack, num_cameras: int, mode: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_cameras", "max_iters", "mode"))
+    jax.jit,
+    static_argnames=("num_cameras", "max_iters", "mode", "freeze_focals"))
 def bundle_adjust(pts, mask, K_stack, Rs0, ts0, *, num_cameras: int,
                   max_iters: int = 64, ftol: float = 1e-2,
-                  cauchy_c: float = 1.0, mode: str = "pixel") -> BAResult:
+                  cauchy_c: float = 1.0, mode: str = "pixel",
+                  freeze_focals: bool = False) -> BAResult:
     """Robust LM bundle adjustment from an initial pose chain.
 
     One compiled XLA program: jacfwd over the (small) parameter vector gives
     a tall J; JᵀWJ/JᵀWr are MXU matmuls; a fixed-length accept/reject LM
     scan replaces scipy's trust-region loop (helpers.py:287-289).
+
+    ``freeze_focals``: keep per-camera focal lengths pinned at K_stack's
+    values (extrinsics-only refinement — used by live recalibration, where
+    applying refined extrinsics against the ORIGINAL intrinsics would
+    otherwise be inconsistent).
     """
     focals0 = K_stack[:, 0, 0]
     p0 = pack_params(Rs0, ts0, focals0)
     nparam = p0.shape[0]
+    free_mask = jnp.ones((nparam,), p0.dtype)
+    if freeze_focals:
+        focal_pos = [0] + [1 + i * 7 for i in range(num_cameras - 1)]
+        free_mask = free_mask.at[jnp.asarray(focal_pos)].set(0.0)
 
     res_fn = lambda p: residuals(p, pts, mask, K_stack, num_cameras, mode)
 
@@ -136,7 +147,7 @@ def bundle_adjust(pts, mask, K_stack, Rs0, ts0, *, num_cameras: int,
         I = jnp.eye(nparam, dtype=p.dtype)
 
         def try_lambda(lam):
-            delta = jnp.linalg.solve(H + lam * I, -g)
+            delta = jnp.linalg.solve(H + lam * I, -g) * free_mask
             new_p = p + delta
             new_cost = robust_cost(res_fn(new_p))
             return new_p, new_cost

@@ -70,7 +70,14 @@ def _epipolar_distances(pts, valid, Ps, gate_px, Fs=None):
     d = jnp.abs(
         jnp.einsum("akbi,bji->akbj", lines[..., :2], pts) + lines[..., 2:3]
     )                                                    # (C, K, C, K)
-    gated = (d < gate_px) & valid[None, None, :, :] & valid[:, :, None, None]
+    # Mask the same-camera diagonal explicitly: F[a, a] is built from
+    # duplicated projection rows, so d[a, k, a, j] is ~0 up to float32
+    # rounding noise in the determinant construction — without this mask the
+    # assoc seed argmin could pair a root with a blob of its OWN camera and
+    # emit a ghost point on the root's ray.
+    same_cam = jnp.eye(C, dtype=bool)[:, None, :, None]      # (C,1,C,1)
+    gated = ((d < gate_px) & ~same_cam
+             & valid[None, None, :, :] & valid[:, :, None, None])
     return d, gated
 
 

@@ -336,16 +336,21 @@ class LocatedBodies(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "template", "max_instances", "pair_budget", "refine_iters"))
+    "template", "max_instances", "pair_budget", "refine_iters",
+    "return_live"))
 def locate_bodies(points, valid, template: BodyTemplate, *,
                   max_instances: int = 2, edge_tol: float = 0.02,
                   assoc_tol: float = 0.03, pair_budget: int = 8,
-                  refine_iters: int = 2,
-                  min_markers: int = 3) -> LocatedBodies:
+                  refine_iters: int = 2, min_markers: int = 3,
+                  return_live: bool = False):
     """Greedily extract up to ``max_instances`` bodies of one template.
 
     Each accepted fit consumes its matched points (the tensor analogue of
     the reference's consumed-root greedy loop, ``helpers.py:436-438``).
+
+    ``return_live=True`` additionally returns the (N,) mask of points NOT
+    consumed by any accepted fit — the multi-template path chains each
+    template over the previous one's leftovers.
     """
     N = points.shape[0]
 
@@ -362,9 +367,10 @@ def locate_bodies(points, valid, template: BodyTemplate, *,
         live2 = live & ~(used & fit.valid)
         return live2, (fit.R, fit.t, fit.rms, fit.valid)
 
-    _, (Rs, ts, rms, ok) = jax.lax.scan(
+    live, (Rs, ts, rms, ok) = jax.lax.scan(
         body, valid, None, length=max_instances)
-    return LocatedBodies(R=Rs, t=ts, rms=rms, valid=ok)
+    out = LocatedBodies(R=Rs, t=ts, rms=rms, valid=ok)
+    return (out, live) if return_live else out
 
 
 def learn_template(points_seq, valid_seq, *, edge_tol: float = 0.02,

@@ -61,8 +61,7 @@ def _compiled_dist_step(mesh: Mesh, axis: str, rig: RigConfig,
             marker_dist2=rig.marker_dist_long,
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
-            body_template=rig.body_template(),
-            max_bodies=rig.max_bodies)
+            body_sets=rig.body_sets_resolved())
 
     fn = shard_map(
         step, mesh=mesh,

@@ -39,12 +39,20 @@ class Engine:
     def __init__(self, rig: RigConfig, cfg: EngineConfig, source: FrameSource,
                  link: SerialLink, preprocess_frames: bool = False,
                  fast_path: bool | None = None,
+                 host_detect: bool | None = None,
                  artifacts_dir: str | None = None):
         """``fast_path`` (default: auto — on unless running on CPU) enables
         the production ingest/compute path: host-side threshold + 1-bit
         packed transfer and the fused Pallas detector (bit-identical
         results; see ops/detect.py, ops/detect_pallas.py).  Unavailable
-        with ``preprocess_frames`` (blur/sharpen needs full frames)."""
+        with ``preprocess_frames`` (blur/sharpen needs full frames).
+
+        ``host_detect`` (default: auto — on when the fast path is on and
+        the native library builds) runs blob detection on the host during
+        ingest (``control/native/detect.cc``, bit-identical CC centroids):
+        the device step then starts at ``track_from_blobs`` with a
+        ~100-byte centroid upload, removing the scatter + detector kernel
+        (~160 us/frame device time) from the hot loop entirely."""
         import jax
         import jax.numpy as jnp
 
@@ -58,6 +66,15 @@ class Engine:
         # packed ingest works on any backend; the fused Pallas kernel is
         # TPU-only (interpret mode is test-only, too slow for the live loop)
         self._pallas = self._fast and jax.default_backend() != "cpu"
+        if host_detect is None:
+            host_detect = self._fast
+        self._host_detect = bool(host_detect) and self._fast
+        if self._host_detect:
+            try:  # native lib availability decides, not the platform
+                from low_cost_mocap_tpu.control.bindings import get_lib
+                get_lib()
+            except Exception:
+                self._host_detect = False
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -95,6 +112,11 @@ class Engine:
         self._last_frames: np.ndarray | None = None
         self._last_out = None
         self._frame_lock = threading.Lock()
+        # guards the compiled step + its packed-layout state
+        # (_step/_step_sparse/_kalman_state/_num_bodies/_pending) against
+        # server-thread rebuilds (learn-body-template apply) racing a
+        # capture-loop process_frame mid-flight
+        self._model_lock = threading.Lock()
         self.fps = 0.0
         self.frame_count = 0
         self._learning_frames: list | None = None  # learn-body-template
@@ -113,24 +135,31 @@ class Engine:
             state, out = frame_step(*args, **kw)
             return state, pack_outputs(out)
 
-        _common = dict(
-            threshold=cfg.detect_threshold,
-            max_blobs=cfg.max_blobs,
-            cc_iters=cfg.cc_iters,
+        _tail = dict(
             gate_px=cfg.epipolar_gate_px,
             max_candidates=cfg.max_candidates_per_cam,
             marker_dist1=rig.marker_dist_short,
             marker_dist2=rig.marker_dist_long,
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
-            do_preprocess=self._preprocess_frames,
-            use_pallas=self._pallas,
-            body_template=rig.body_template(),
-            max_bodies=rig.max_bodies,
+            body_sets=rig.body_sets_resolved(),
             with_obs=True,   # live recalibration needs the matcher's
                              # correspondence-resolved observations
         )
-        self._num_bodies = rig.max_bodies if rig.body_markers else 0
+        _common = dict(
+            threshold=cfg.detect_threshold,
+            max_blobs=cfg.max_blobs,
+            cc_iters=cfg.cc_iters,
+            do_preprocess=self._preprocess_frames,
+            use_pallas=self._pallas,
+            **_tail,
+        )
+        self._num_bodies = rig.total_body_slots()
+        # body output slot -> template (set) index, for client payloads
+        self._body_set_of_slot = np.concatenate(
+            [np.full(mi, si, np.int32)
+             for si, (_, mi) in enumerate(rig.body_sets_resolved())]
+        ) if self._num_bodies else np.zeros((0,), np.int32)
         self._step = jax.jit(functools.partial(
             _step_packed, packed_input=self._fast, **_common),
             donate_argnums=(0,))
@@ -141,6 +170,21 @@ class Engine:
             _step_packed, sparse_input=True,
             image_shape=(rig.num_cameras, rig.image_size, rig.image_size),
             **_common), donate_argnums=(0,)) if self._fast else None
+        # Host-detect variant: blobs found during ingest (native CCL,
+        # control/native/detect.cc) — the device step is the tail only.
+        if self._host_detect:
+            from low_cost_mocap_tpu.models.pipeline import (pack_outputs,
+                                                            track_from_blobs)
+
+            def _tail_packed(state, blobs, blob_valid, *args, **kw):
+                state, out = track_from_blobs(state, blobs, blob_valid,
+                                              *args, **kw)
+                return state, pack_outputs(out)
+
+            self._step_blobs = jax.jit(functools.partial(
+                _tail_packed, **_tail), donate_argnums=(0,))
+        else:
+            self._step_blobs = None
 
     # ------------------------------------------------------------ events
 
@@ -238,7 +282,8 @@ class Engine:
                 self.set_to_world_matrix(
                     np.asarray(data["toWorldCoordsMatrix"], np.float32))
             from low_cost_mocap_tpu.models.pipeline import make_init_state
-            self._kalman_state = make_init_state(self.rig)
+            with self._model_lock:
+                self._kalman_state = make_init_state(self.rig)
             self.is_capturing_points = True
             self.is_triangulating_points = True
         else:
@@ -313,13 +358,23 @@ class Engine:
         Rs_g = np.einsum("cij,kj->cik", np.asarray(Rs0), R0)  # R_i R0^T
         ts_g = (np.asarray(ts0).reshape(-1, 3)
                 - np.einsum("cij,j->ci", Rs_g, t0))
+        # Extrinsics-only refinement: focals stay pinned to the rig
+        # intrinsics (applying refined extrinsics against the ORIGINAL K
+        # would otherwise be inconsistent), and the free-point BA's scale
+        # gauge is re-anchored afterwards so the wand-derived metric scale
+        # can't drift across repeated refines.
         res = ba_ops.bundle_adjust(
             jnp.asarray(pts), jnp.asarray(msk), self._K,
             jnp.asarray(Rs_g.astype(np.float32)),
             jnp.asarray(ts_g.astype(np.float32)),
             num_cameras=self.rig.num_cameras,
-            max_iters=self.cfg.ba_max_iters, ftol=self.cfg.ba_ftol)
+            max_iters=self.cfg.ba_max_iters, ftol=self.cfg.ba_ftol,
+            freeze_focals=True)
         Rg, tg = np.asarray(res.Rs), np.asarray(res.ts)
+        norm0 = float(np.linalg.norm(ts_g[1:], axis=-1).sum())
+        norm1 = float(np.linalg.norm(tg[1:], axis=-1).sum())
+        if norm1 > 1e-9 and norm0 > 1e-9:
+            tg = tg * (norm0 / norm1)
         Rs = np.einsum("cij,jk->cik", Rg, R0)
         ts = tg + np.einsum("cij,j->ci", Rg, t0)
         from low_cost_mocap_tpu.ops.camera import projection_matrix
@@ -368,12 +423,16 @@ class Engine:
 
             from low_cost_mocap_tpu.models.pipeline import make_init_state
 
-            self.rig = dataclasses.replace(
+            rig = dataclasses.replace(
                 self.rig, body_markers=tmpl.markers,
                 max_bodies=int(data.get("maxBodies", self.rig.max_bodies)))
-            self._build_steps()          # recompile with the template
-            self._kalman_state = make_init_state(self.rig)
-            self._pending.clear()        # old-layout packed outputs
+            # swap under the model lock so the capture loop never sees a
+            # torn (old step, new-layout state) combination mid-frame
+            with self._model_lock:
+                self.rig = rig
+                self._build_steps()      # recompile with the template
+                self._kalman_state = make_init_state(self.rig)
+                self._pending.clear()    # old-layout packed outputs
             payload["applied"] = True
         self.emit("body-template", payload)
 
@@ -511,43 +570,58 @@ class Engine:
 
     def process_frame(self, frames: np.ndarray, dt: float):
         """One frame through the compiled step + reference-shaped emits."""
-        import jax.numpy as jnp
-
         with self._frame_lock:
             self._last_frames = frames
 
         if not self.is_capturing_points:
             return None
 
-        step = self._step
-        if self._fast:
+        # Host arrays go STRAIGHT into the jitted call (no device_put /
+        # jnp.asarray): the transfer rides the dispatch RPC, which matters
+        # on tunneled devices where every extra round trip costs ~300 us.
+        blob_args = None
+        if self._host_detect:
+            from low_cost_mocap_tpu.control.bindings import detect_blobs
+            from low_cost_mocap_tpu.ops.detect import pack_frames
+
+            bits = pack_frames(frames, self.cfg.detect_threshold)
+            blobs, bvalid, _ = detect_blobs(
+                bits, frames.shape[1], frames.shape[2], self.cfg.max_blobs)
+            blob_args = (blobs, bvalid)
+        elif self._fast:
             idx, ok, packed = sparse_ingest(
                 frames, self.cfg.detect_threshold, self.cfg.sparse_budget)
-            if ok:
-                step = self._step_sparse
-                payload = idx
-            else:  # budget exceeded: dense 1-bit path, bit-exact
-                payload = packed
+            payload = idx if ok else packed  # dense 1-bit path is bit-exact
         else:
-            payload = frames
-        self._kalman_state, packed = step(
-            self._kalman_state, jnp.asarray(payload), jnp.asarray(dt),
-            self._Ps, self._K, self._dist, self._M, self._F)
-        # ONE ~2 KB device->host transfer for all outputs (fetching the ~20
-        # pytree leaves individually pays the readback latency per array).
-        # With readback_pipeline_depth > 0 the fetch is issued async and
-        # harvested `depth` frames later, overlapping device->host latency
-        # with subsequent frames' compute (high-latency links).
-        depth = self.cfg.readback_pipeline_depth
-        if depth > 0:
-            packed.copy_to_host_async()
-            self._pending.append(packed)
-            if len(self._pending) <= depth:
-                return None
-            packed = self._pending.popleft()
-        out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
-                             self.cfg.max_blobs, self.rig.num_objects,
-                             num_bodies=self._num_bodies, with_obs=True)
+            ok, payload = False, frames
+        dt32 = np.float32(dt)
+        with self._model_lock:
+            if blob_args is not None:
+                self._kalman_state, packed = self._step_blobs(
+                    self._kalman_state, blob_args[0], blob_args[1], dt32,
+                    self._Ps, self._K, self._dist, self._M, self._F)
+            else:
+                step = (self._step_sparse if (self._fast and ok)
+                        else self._step)
+                self._kalman_state, packed = step(
+                    self._kalman_state, payload, dt32,
+                    self._Ps, self._K, self._dist, self._M, self._F)
+            # ONE ~2 KB device->host transfer for all outputs (fetching the
+            # ~20 pytree leaves individually pays the readback latency per
+            # array).  With readback_pipeline_depth > 0 the fetch is issued
+            # async and harvested `depth` frames later, overlapping
+            # device->host latency with subsequent frames' compute
+            # (high-latency links).
+            depth = self.cfg.readback_pipeline_depth
+            if depth > 0:
+                packed.copy_to_host_async()
+                self._pending.append(packed)
+                if len(self._pending) <= depth:
+                    return None
+                packed = self._pending.popleft()
+            out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
+                                 self.cfg.max_blobs, self.rig.num_objects,
+                                 num_bodies=self._num_bodies, with_obs=True)
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent
@@ -629,6 +703,7 @@ class Engine:
                     "R": np.asarray(out.bodies.R)[i].tolist(),
                     "t": np.asarray(out.bodies.t)[i].tolist(),
                     "rms": float(np.asarray(out.bodies.rms)[i]),
+                    "templateIndex": int(self._body_set_of_slot[i]),
                 } for i in np.where(bv)[0]]
                 tb = out.tracked_bodies
                 tbv = np.asarray(tb.valid)
@@ -637,6 +712,7 @@ class Engine:
                 # on readback once per body per frame
                 payload["tracked_bodies"] = [{
                     "bodyIndex": int(i),
+                    "templateIndex": int(self._body_set_of_slot[i]),
                     "pos": np.asarray(tb.pos)[i].tolist(),
                     "vel": np.asarray(tb.vel)[i].tolist(),
                     "quat": np.asarray(tb.quat)[i].tolist(),

@@ -93,7 +93,7 @@ class MocapServer:
         # events plus the new observability surface)
         for ev in ("image-points", "object-points", "camera-pose",
                    "to-world-coords-matrix", "fps", "metrics",
-                   "engine-error"):
+                   "engine-error", "body-template"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring
@@ -224,8 +224,11 @@ class MocapServer:
                     elif text == "3":         # pong
                         continue
                     elif text == "40" or text.startswith("40{"):
-                        client.send_text(wsproto.sio_connect_ack(sid))
+                        # register BEFORE acking: a client that emits (or a
+                        # broadcast that fires) right after seeing the ack
+                        # must already be in the broadcast set
                         self._add_client(client)
+                        client.send_text(wsproto.sio_connect_ack(sid))
                     else:
                         evt = wsproto.parse_sio_event(text)
                         if evt is not None:

@@ -30,6 +30,10 @@ def main(argv=None):
                    help="JSON [[x,y,z],...] rigid-body template (engine "
                         "world frame) to 6-DoF-track alongside the drones")
     p.add_argument("--max-bodies", type=int, default=2)
+    p.add_argument("--body-sets",
+                   help="JSON [[[[x,y,z],...], maxInstances], ...] — "
+                        "additional distinct rigid-body templates tracked "
+                        "simultaneously (see RigConfig.body_sets)")
     p.add_argument("--artifacts-dir", default="artifacts",
                    help="directory for auto-persisted calibration state")
     args = p.parse_args(argv)
@@ -55,6 +59,12 @@ def main(argv=None):
             body_markers=tuple(tuple(m)
                                for m in _json.loads(args.body_markers)),
             max_bodies=args.max_bodies)
+    if args.body_sets:
+        import json as _json
+
+        body_kw["body_sets"] = tuple(
+            (tuple(tuple(m) for m in markers), int(max_inst))
+            for markers, max_inst in _json.loads(args.body_sets))
 
     if args.source == "synthetic":
         Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras)

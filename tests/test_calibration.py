@@ -113,6 +113,40 @@ def test_bundle_adjust_reduces_error_from_perturbed_poses():
     assert e_after < e_perturbed / 10
 
 
+def test_bundle_adjust_freeze_focals_pins_intrinsics():
+    """Extrinsics-only BA: focals must come out exactly as K's and the
+    refinement must still fix the perturbed extrinsics (the live-recalib
+    path applies Rs/ts against the ORIGINAL K — advisor round-1 finding)."""
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    rng = np.random.default_rng(9)
+    X = syn.random_points(rng, 60)
+    pts, mask = syn.observe(X, Rs, ts, rig, noise_px=0.3, rng=rng)
+    R0, t0 = Rs[0].copy(), ts[0].copy()
+    Rs = np.einsum("cij,jk->cik", Rs, R0.T).astype(np.float32)
+    ts = (ts - np.einsum("cij,j->ci", Rs, t0)).astype(np.float32)
+    from low_cost_mocap_tpu.ops import rotations as rot
+    dR = np.asarray(rot.rotvec_to_matrix(jnp.asarray(
+        rng.normal(scale=0.02, size=(4, 3)).astype(np.float32))))
+    Rs_p = np.einsum("cij,cjk->cik", dR, Rs).astype(np.float32)
+    ts_p = (ts + rng.normal(scale=0.03, size=ts.shape)).astype(np.float32)
+    Rs_p[0], ts_p[0] = np.eye(3, dtype=np.float32), 0
+
+    res = ba_ops.bundle_adjust(jnp.asarray(pts), jnp.asarray(mask),
+                               jnp.asarray(rig.K_stack()),
+                               jnp.asarray(Rs_p), jnp.asarray(ts_p),
+                               num_cameras=4, max_iters=40,
+                               freeze_focals=True)
+    np.testing.assert_array_equal(np.asarray(res.focals),
+                                  rig.K_stack()[:, 0, 0])
+    Ps = camera.projection_matrix(jnp.asarray(rig.K_stack()),
+                                  res.Rs, res.ts)
+    Xh, _ = triangulate.triangulate_points(jnp.asarray(pts), Ps,
+                                           jnp.asarray(mask))
+    e = triangulate.reprojection_errors(jnp.asarray(pts), Xh, Ps,
+                                        jnp.asarray(mask))
+    assert float(jnp.mean(e)) < 0.35
+
+
 def test_full_calibrate_pipeline():
     Rs, ts, rig = syn.ring_rig(num_cameras=3)
     rng = np.random.default_rng(4)

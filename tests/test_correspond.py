@@ -92,6 +92,33 @@ def test_two_cameras_only():
         assert np.linalg.norm(got - x, axis=1).min() < 1e-2
 
 
+def test_same_camera_pairs_are_gated_out():
+    """F[a, a] is exactly degenerate (duplicated projection rows), so
+    d[a, k, a, j] is ~0 up to rounding noise — the gate must mask the
+    b == a diagonal explicitly or the assoc seed can pair a root with a
+    blob of its OWN camera and emit a ghost on the root's ray (advisor
+    round-1 finding)."""
+    _, pts, mask, Ps = _setup(n_pts=4, seed=2)
+    slots, ok = _to_slots(pts, mask)
+    _, gated = correspond._epipolar_distances(
+        jnp.asarray(slots), jnp.asarray(ok), jnp.asarray(Ps), gate_px=5.0)
+    g = np.asarray(gated)
+    for a in range(g.shape[0]):
+        assert not g[a, :, a, :].any()
+
+
+def test_assoc_needs_a_second_view_to_seed():
+    """With blobs in only one camera, assoc mode must emit nothing — a
+    same-camera seed would reconstruct a ghost point on the ray."""
+    _, pts, mask, Ps = _setup(n_pts=3)
+    slots, ok = _to_slots(pts, mask)
+    only0 = np.zeros_like(ok)
+    only0[0] = ok[0]
+    res = correspond.match_points(jnp.asarray(slots), jnp.asarray(only0),
+                                  jnp.asarray(Ps), mode="assoc")
+    assert not np.asarray(res["valid"]).any()
+
+
 def test_jit_compiles_once_and_reruns():
     X, pts, mask, Ps = _setup(n_pts=3)
     slots, ok = _to_slots(pts, mask)

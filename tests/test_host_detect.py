@@ -1,0 +1,104 @@
+"""Native host-side blob detection (control/native/detect.cc).
+
+The production ingest path detects blobs on the host during threshold+pack
+and ships only (K, 2) centroids to the device; results must be bit-identical
+to the device detector (ops/detect.py) so the fast path never changes
+semantics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from low_cost_mocap_tpu.ops import detect
+from low_cost_mocap_tpu.utils import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from low_cost_mocap_tpu.control import bindings
+
+    try:
+        bindings.get_lib()
+    except Exception as e:  # pragma: no cover - no toolchain
+        pytest.skip(f"native lib unavailable: {e}")
+    return bindings
+
+
+def _random_frames(seed, C=4, H=320, W=320, blobs=6):
+    rng = np.random.default_rng(seed)
+    frames = np.zeros((C, H, W), np.uint8)
+    for c in range(C):
+        for _ in range(blobs):
+            r, col = rng.integers(2, H - 4), rng.integers(2, W - 4)
+            rad = int(rng.integers(1, 4))
+            frames[c, r - rad:r + rad + 1, col - rad:col + rad + 1] = \
+                rng.integers(100, 255)
+    return frames
+
+
+def test_native_detect_bit_identical_to_device(lib):
+    for seed in range(4):
+        frames = _random_frames(seed)
+        frames[0, 0:2, 0:2] = 200      # corner component
+        frames[1, -1, -3:] = 210       # bottom-edge strip
+        packed = detect.pack_frames(frames, 0.2)
+        cent_n, valid_n, sizes_n = lib.detect_blobs(packed, 320, 320, 8)
+        unpacked = detect.unpack_bits(jnp.asarray(packed))
+        cent_d, valid_d, sizes_d = map(np.asarray, detect.find_blobs_multi(
+            unpacked, 0.5, 8, cc_iters=64))
+        np.testing.assert_array_equal(valid_n, valid_d)
+        np.testing.assert_array_equal(cent_n, cent_d)
+        np.testing.assert_array_equal(sizes_n, sizes_d)
+
+
+def test_native_detect_empty_and_overflow(lib):
+    frames = np.zeros((2, 320, 320), np.uint8)
+    packed = detect.pack_frames(frames, 0.2)
+    cent, valid, sizes = lib.detect_blobs(packed, 320, 320, 8)
+    assert not valid.any() and (sizes == 0).all()
+
+    # more components than slots: first K in raster order win
+    frames[0, ::10, ::10] = 255  # 32*32 isolated pixels
+    packed = detect.pack_frames(frames, 0.2)
+    cent, valid, sizes = lib.detect_blobs(packed, 320, 320, 8)
+    assert valid[0].all()
+    np.testing.assert_array_equal(cent[0, :, 1], 0.0)   # all row 0
+    np.testing.assert_array_equal(cent[0, :, 0], np.arange(8) * 10.0)
+
+
+def test_engine_host_detect_matches_reference_path():
+    """Full engine with host detection reproduces the slow path's outputs."""
+    import jax
+
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("CPU-only parity test")
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.runtime.engine import Engine
+    from low_cost_mocap_tpu.runtime.serial_link import CollectingLink
+    from low_cost_mocap_tpu.runtime.sources import SyntheticSource
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    cfg = EngineConfig()
+    src = SyntheticSource(rig, Rs, ts, num_drones=1)
+    engines = []
+    for kw in (dict(fast_path=False),
+               dict(fast_path=True, host_detect=True)):
+        e = Engine(rig, cfg, SyntheticSource(rig, Rs, ts, num_drones=1),
+                   CollectingLink(), **kw)
+        e.set_camera_poses(Rs, ts)
+        e.is_capturing_points = True
+        e.is_triangulating_points = True
+        e.is_locating_objects = True
+        engines.append(e)
+    assert engines[1]._host_detect
+
+    frames = src.read()
+    outs = [e.process_frame(frames, 1 / 60) for e in engines]
+    pv = [np.asarray(o.point_valid) for o in outs]
+    np.testing.assert_array_equal(pv[0], pv[1])
+    np.testing.assert_array_equal(np.asarray(outs[0].blob_px),
+                                  np.asarray(outs[1].blob_px))
+    np.testing.assert_allclose(np.asarray(outs[0].object_points)[pv[0]],
+                               np.asarray(outs[1].object_points)[pv[1]],
+                               atol=1e-5)

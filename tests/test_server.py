@@ -123,6 +123,20 @@ def test_unknown_event_returns_server_error(server):
     c.close()
 
 
+def test_body_template_event_reaches_clients(server):
+    """The webui's Learn-body button listens on('body-template'); the
+    engine->client broadcast tuple must include it (advisor round-1
+    finding: success/failure feedback never reached the browser)."""
+    srv, eng, source = server
+    c = SioClient("127.0.0.1", srv.port)
+    c.wait_packet(lambda p: p.startswith("0{"))
+    c.send_text("40")
+    c.wait_packet(lambda p: p.startswith("40{"))
+    eng.emit("body-template", {"error": "no frames captured"})
+    c.wait_packet(lambda p: p.startswith('42["body-template"'))
+    c.close()
+
+
 def test_trajectory_planning_endpoint(server):
     srv, eng, source = server
     conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
