@@ -345,9 +345,17 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
         live = match["valid"]
         b_parts, t_parts, new_bstates = [], [], []
         for si, (tmpl, max_inst) in enumerate(body_sets):
-            b, live = locate_bodies(obj_pts_world, live, tmpl,
-                                    max_instances=max_inst,
-                                    return_live=True)
+            # joint temporal fit: each track's constant-velocity predicted
+            # pose enters the fit as an extra hypothesis (survives frames
+            # where the anchor markers are occluded) with a gentle
+            # proximity tie-break (rejects ghost-consistent wrong
+            # interpretations) — see ops/rigid_general.fit_body
+            bs = body_states[si]
+            b, live = locate_bodies(
+                obj_pts_world, live, tmpl, max_instances=max_inst,
+                return_live=True,
+                seed_R=body_tracker.quat_to_rot(bs.quat),
+                seed_t=bs.pos + bs.vel * dt, seed_ok=bs.active)
             nbs, tb = body_tracker.update(
                 body_states[si], b.t, b.R, b.rms, b.valid, dt)
             b_parts.append(b)

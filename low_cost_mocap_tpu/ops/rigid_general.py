@@ -200,17 +200,30 @@ def weighted_absolute_orientation(P, Q, w):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "template", "pair_budget", "refine_iters"))
+    "template", "pair_budget", "refine_iters", "seed_weight"))
 def fit_body(points, valid, template: BodyTemplate, *,
              edge_tol: float = 0.02, assoc_tol: float = 0.03,
              pair_budget: int = 8, refine_iters: int = 2,
-             min_markers: int = 3) -> BodyFit:
+             min_markers: int = 3, seed_R=None, seed_t=None,
+             seed_ok=None, seed_weight: float = 1e-4) -> BodyFit:
     """Fit ONE instance of ``template`` to triangulated points.
 
     points: (N, 3) world points; valid: (N,) bool.  Static-shape hypothesis
     search (see module docstring).  ``edge_tol`` gates anchor edges (m);
     ``assoc_tol`` gates marker-to-point association (m); a fit is valid
     when >= ``min_markers`` markers matched.
+
+    ``seed_R``/``seed_t``/``seed_ok`` ((S, 3, 3), (S, 3), (S,)): optional
+    predicted poses (e.g. the body tracker's constant-velocity
+    predictions) injected as extra hypotheses — the joint temporal fit.
+    They enter at the associate-refit stage, so a body whose anchor edges
+    are occluded this frame can still be fit from its track, and
+    ``seed_weight`` adds a gentle distance-to-prediction tie-break
+    (score += seed_weight * min_s |t_hyp - seed_t_s|^2, applied only when
+    any seed is valid) that resolves the geometrically-consistent-but-
+    wrong interpretations a single frame cannot (module docstring's known
+    limitation).  The default weight is small enough that a genuinely
+    better fit (>~5 mm RMS difference) always beats track proximity.
     """
     tmpl = jnp.asarray(template.markers)            # (M, 3)
     M = tmpl.shape[0]
@@ -263,6 +276,18 @@ def fit_body(points, valid, template: BodyTemplate, *,
     Q3 = points[jnp.stack([pi, pj, pk], axis=-1)]    # (B, 3, 3)
     R, t = weighted_absolute_orientation(P3, Q3, jnp.ones((B, 3), tmpl.dtype))
 
+    # 3b. track-prediction hypotheses (joint temporal fit): enter directly
+    # at the associate-refit stage, bypassing anchor enumeration
+    if seed_t is not None:
+        seed_R = jnp.asarray(seed_R, tmpl.dtype)
+        seed_t = jnp.asarray(seed_t, tmpl.dtype)
+        if seed_ok is None:
+            seed_ok = jnp.ones(seed_t.shape[0], bool)
+        R = jnp.concatenate([R, seed_R])
+        t = jnp.concatenate([t, seed_t])
+        hyp_ok = jnp.concatenate([hyp_ok, seed_ok])
+        B = B + seed_t.shape[0]
+
     # 4. associate every template marker, trim, re-fit, iterate
     def assoc_and_fit(R, t):
         Y = jnp.einsum("bij,mj->bmi", R, tmpl) + t[:, None, :]  # (B, M, 3)
@@ -313,6 +338,15 @@ def fit_body(points, valid, template: BodyTemplate, *,
     n_miss = M - n_match
     score = (jnp.sum(res2 * w, axis=-1) + n_miss * assoc_tol ** 2) \
         / jnp.maximum(n_match + n_miss, 1.0)
+    if seed_t is not None and seed_weight > 0:
+        # gentle proximity-to-prediction tie-break (active only when a
+        # track prediction exists): distinguishes between near-equal-RMS
+        # interpretations without ever overruling a clearly better fit
+        d2s = jnp.sum((t[:, None, :] - seed_t[None, :, :]) ** 2, axis=-1)
+        d2s = jnp.where(seed_ok[None, :], d2s, jnp.inf)
+        d2min = jnp.min(d2s, axis=-1)
+        score = score + jnp.where(jnp.isfinite(d2min),
+                                  seed_weight * d2min, 0.0)
     score = jnp.where(hyp_ok & (n_match >= min_markers), score, jnp.inf)
 
     best = jnp.argmin(score)
@@ -337,12 +371,13 @@ class LocatedBodies(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "template", "max_instances", "pair_budget", "refine_iters",
-    "return_live"))
+    "return_live", "seed_weight"))
 def locate_bodies(points, valid, template: BodyTemplate, *,
                   max_instances: int = 2, edge_tol: float = 0.02,
                   assoc_tol: float = 0.03, pair_budget: int = 8,
                   refine_iters: int = 2, min_markers: int = 3,
-                  return_live: bool = False):
+                  return_live: bool = False, seed_R=None, seed_t=None,
+                  seed_ok=None, seed_weight: float = 1e-4):
     """Greedily extract up to ``max_instances`` bodies of one template.
 
     Each accepted fit consumes its matched points (the tensor analogue of
@@ -351,13 +386,19 @@ def locate_bodies(points, valid, template: BodyTemplate, *,
     ``return_live=True`` additionally returns the (N,) mask of points NOT
     consumed by any accepted fit — the multi-template path chains each
     template over the previous one's leftovers.
+
+    ``seed_R``/``seed_t``/``seed_ok``: track-prediction hypotheses handed
+    to every instance's ``fit_body`` (already-extracted instances'
+    predictions are harmless — their points are consumed).
     """
     N = points.shape[0]
 
     def body(live, _):
         fit = fit_body(points, live, template, edge_tol=edge_tol,
                        assoc_tol=assoc_tol, pair_budget=pair_budget,
-                       refine_iters=refine_iters, min_markers=min_markers)
+                       refine_iters=refine_iters, min_markers=min_markers,
+                       seed_R=seed_R, seed_t=seed_t, seed_ok=seed_ok,
+                       seed_weight=seed_weight)
         # unmatched markers carry point_idx == -1, which jnp scatters WRAP
         # to N-1 rather than drop — route them to index N so mode="drop"
         # actually discards them (a wrapped False write raced the real
