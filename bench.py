@@ -44,7 +44,8 @@ def main():
     frames_np = np.asarray(frames)
 
     from low_cost_mocap_tpu.control.bindings import detect_blobs
-    from low_cost_mocap_tpu.models.pipeline import track_from_blobs
+    from low_cost_mocap_tpu.models.pipeline import (pack_outputs,
+                                                    track_from_blobs)
     from low_cost_mocap_tpu.ops.detect import pack_frames
 
     C, H, W = frames_np.shape
@@ -56,9 +57,13 @@ def main():
     threshold = fn.keywords["threshold"]
 
     def tail(state, packed, *args, **kw):
-        # ONE (C, K, 3) upload: xy centroids + validity channel
-        return track_from_blobs(state, packed[..., :2], packed[..., 2] > 0.5,
-                                *args, **kw)
+        # ONE (C, K, 3) upload: xy centroids + validity channel; outputs
+        # packed into ONE vector (the engine's production readback layout —
+        # ~25 output leaves cost ~3.5 us each of client bookkeeping through
+        # the tunnel, measured 85 us/frame saved)
+        st, out = track_from_blobs(state, packed[..., :2],
+                                   packed[..., 2] > 0.5, *args, **kw)
+        return st, pack_outputs(out)
 
     step = jax.jit(functools.partial(tail, **tail_kw), donate_argnums=(0,))
 
