@@ -26,9 +26,9 @@ def main(T: int = 512):
     import jax.numpy as jnp
 
     from low_cost_mocap_tpu.config import EngineConfig
-    from low_cost_mocap_tpu.models.offline import process_recording
+    from low_cost_mocap_tpu.models.offline import (detect_recording_host,
+                                                   process_recording)
     from low_cost_mocap_tpu.ops import camera as cam_ops
-    from low_cost_mocap_tpu.ops.detect import sparse_ingest
     from low_cost_mocap_tpu.utils import synthetic as syn
 
     Rs, ts, rig = syn.ring_rig(num_cameras=4)
@@ -43,31 +43,33 @@ def main(T: int = 512):
         pts, mask = syn.observe(X.astype(np.float32), Rs, ts, rig)
         frames.append(syn.render_frames(pts, mask, rig.image_size, sigma=0.8))
     frames_u8 = (np.stack(frames) * 255).astype(np.uint8)   # (T, C, H, W)
-    enc = [sparse_ingest(f, cfg.detect_threshold, cfg.sparse_budget)
-           for f in frames_u8]
-    assert all(ok for _, ok, _ in enc)
-    idx_seq = np.stack([i for i, _, _ in enc])               # (T, budget)
 
     K = jnp.asarray(rig.K_stack())
     dist = jnp.asarray(rig.dist_stack())
     Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
     M = jnp.eye(4, dtype=jnp.float32)
 
-    def run(p):
-        return process_recording(p, Ps, K, dist, M, rig, cfg, sparse=True)
+    def run(fr):
+        # production offline path: native host detection (one FFI call for
+        # the whole recording), device program starts at undistort+match
+        blobs, bvalid = detect_recording_host(
+            fr, cfg.detect_threshold, cfg.max_blobs)
+        return process_recording((jnp.asarray(blobs), jnp.asarray(bvalid)),
+                                 Ps, K, dist, M, rig, cfg)
 
-    res = run(jnp.asarray(idx_seq))          # compile + warm
+    res = run(frames_u8)                     # compile + warm
     jax.block_until_ready(res.object_points)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = run(jnp.asarray(idx_seq))
+        res = run(frames_u8)
         jax.block_until_ready(res.object_points)
         best = min(best, time.perf_counter() - t0)
     dev = jax.devices()[0]
     print(f"offline throughput ({dev.platform}/{dev.device_kind}): "
           f"{T / best:.0f} frames/s  (T={T}, 4 cams, "
-          f"{rig.image_size}x{rig.image_size}, incl. host->device transfer)")
+          f"{rig.image_size}x{rig.image_size}, incl. host detect + "
+          f"host->device transfer)")
 
 
 if __name__ == "__main__":

@@ -62,30 +62,61 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     templates fit simultaneously per frame, each consuming its matched
     points before the next (outputs concatenated over slots in set order);
     ``body_template``/``max_bodies`` is single-set shorthand.
+
+    Alternatively pass ``frames_seq=(blobs_seq, blob_valid_seq)`` with
+    shapes (T, C, K, 2)/(T, C, K) — e.g. from ``detect_recording_host``
+    (native host-side detection, ``control/native/detect.cc``): the
+    compiled program then starts at undistort+match, which roughly
+    doubles offline throughput (detection was the dominant device stage).
     """
     import jax as _jax
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() not in ("cpu",)
-    T = frames_seq.shape[0]
+    from_blobs = isinstance(frames_seq, tuple)
+    T = frames_seq[0].shape[0] if from_blobs else frames_seq.shape[0]
     if dts is None:
         dts = jnp.full((T,), 1.0 / cfg.target_fps, jnp.float32)
     if body_sets is None and body_template is not None:
         body_sets = ((body_template, int(max_bodies)),)
     run = _compiled_run(rig, cfg, bool(packed), bool(sparse), int(chunk),
-                        bool(use_pallas), body_sets)
+                        bool(use_pallas), body_sets, from_blobs)
     return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
+
+
+def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int):
+    """Host-side native blob detection over a whole recording.
+
+    frames_u8_seq: (T, C, H, W) uint8.  One fused native pass: SIMD
+    threshold+bit-pack (``ingest.cc``) then connected-component centroids
+    per frame (``detect.cc``), all T*C frames in ONE FFI call.  Returns
+    (blobs (T, C, K, 2) f32, valid (T, C, K) bool) — bit-identical to the
+    device detector — ready for ``process_recording(frames_seq=(blobs,
+    valid))``.
+    """
+    import numpy as np
+
+    from low_cost_mocap_tpu.control.bindings import detect_blobs
+    from low_cost_mocap_tpu.ops.detect import pack_frames
+
+    T, C, H, W = frames_u8_seq.shape
+    bits = pack_frames(np.asarray(frames_u8_seq), threshold)
+    blobs, valid, _ = detect_blobs(bits.reshape(T * C, H, W // 8),
+                                   H, W, max_blobs)
+    return blobs.reshape(T, C, max_blobs, 2), valid.reshape(T, C, max_blobs)
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                   sparse: bool, chunk: int, use_pallas: bool,
-                  body_sets=None):
+                  body_sets=None, from_blobs: bool = False):
     """Cache the compiled sequence program per (rig, cfg, mode) — building
     the jit inline made every call retrace AND recompile."""
 
     def vision(frames, Ps, K, dist, to_world_matrix):
-        if sparse:
+        if from_blobs:   # host-detected (blobs, valid) input
+            blobs, bvalid = frames
+        elif sparse:
             f = detect.scatter_pixels(
                 frames, (rig.num_cameras, rig.image_size, rig.image_size))
             thr = 0.5
@@ -95,14 +126,16 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
         else:
             f = frames.astype(jnp.float32) * (1.0 / 255.0)
             thr = cfg.detect_threshold
-        if use_pallas:
-            from low_cost_mocap_tpu.ops.detect_pallas import find_blobs_pallas
+        if not from_blobs:
+            if use_pallas:
+                from low_cost_mocap_tpu.ops.detect_pallas import \
+                    find_blobs_pallas
 
-            blobs, bvalid, _ = find_blobs_pallas(
-                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
-        else:
-            blobs, bvalid, _ = detect.find_blobs_multi(
-                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+                blobs, bvalid, _ = find_blobs_pallas(
+                    f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+            else:
+                blobs, bvalid, _ = detect.find_blobs_multi(
+                    f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
         blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
         blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
         m = correspond.match_points(blobs_u, bvalid, Ps,
@@ -135,11 +168,12 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
 
     @jax.jit
     def run(frames_seq, dts, Ps, K, dist, to_world_matrix):
-        T = frames_seq.shape[0]
+        T = jax.tree.leaves(frames_seq)[0].shape[0]
         v = functools.partial(vision, Ps=Ps, K=K, dist=dist,
                               to_world_matrix=to_world_matrix)
         c = chunk if T % chunk == 0 else 1
-        shaped = frames_seq.reshape(T // c, c, *frames_seq.shape[1:])
+        shaped = jax.tree.map(
+            lambda x: x.reshape(T // c, c, *x.shape[1:]), frames_seq)
         pts_w, pvalid, perr, loc, bodies = jax.lax.map(jax.vmap(v), shaped)
         (pts_w, pvalid, perr, loc, bodies) = jax.tree.map(
             lambda x: x.reshape(T, *x.shape[2:]),

@@ -160,3 +160,22 @@ def test_offline_sparse_mode_matches_dense():
                                np.asarray(sparse.object_points), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dense.tracked.pos),
                                np.asarray(sparse.tracked.pos), atol=1e-5)
+
+    # host-detected blobs input (control/native/detect.cc): same results,
+    # device program starts at undistort+match
+    try:
+        blobs, bvalid = offline.detect_recording_host(
+            frames_u8, cfg.detect_threshold, cfg.max_blobs)
+    except Exception as e:  # pragma: no cover - no toolchain
+        import pytest
+
+        pytest.skip(f"native lib unavailable: {e}")
+    hosted = offline.process_recording(
+        (jnp.asarray(blobs), jnp.asarray(bvalid)), Ps, K, dist, M,
+        rig, cfg, chunk=4)
+    np.testing.assert_array_equal(np.asarray(dense.point_valid),
+                                  np.asarray(hosted.point_valid))
+    np.testing.assert_allclose(np.asarray(dense.object_points),
+                               np.asarray(hosted.object_points), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense.tracked.pos),
+                               np.asarray(hosted.tracked.pos), atol=1e-5)
