@@ -155,6 +155,51 @@ def test_single_template_shorthand_unchanged():
                                np.asarray(o2.bodies.t), atol=1e-6)
 
 
+def test_engine_with_body_sets_emits_template_index():
+    """Live engine compiled with two body sets: object-points payloads
+    carry templateIndex per body slot (pack/unpack sized by the TOTAL
+    slot count across sets)."""
+    from low_cost_mocap_tpu.runtime.engine import Engine
+    from low_cost_mocap_tpu.runtime.serial_link import CollectingLink
+    from low_cost_mocap_tpu.runtime.sources import SyntheticSource
+
+    Rs, ts, rig0 = syn.ring_rig(num_cameras=4)
+    rig = dataclasses.replace(rig0, body_markers=TMPL_A, max_bodies=1,
+                              body_sets=((TMPL_B, 2),))
+    cfg = EngineConfig(max_blobs=16)
+    eng = Engine(rig, cfg, SyntheticSource(rig, Rs, ts, num_drones=1),
+                 CollectingLink())
+    assert eng._num_bodies == 3
+    np.testing.assert_array_equal(eng._body_set_of_slot, [0, 1, 1])
+    eng.set_camera_poses(Rs, ts)
+    eng.is_capturing_points = True
+    eng.is_triangulating_points = True
+    eng.is_locating_objects = True
+    events = []
+    eng.on("object-points", events.append)
+
+    t_a = np.array([-0.25, 0.1, 0.05], np.float32)
+    t_b = np.array([0.3, -0.1, 0.12], np.float32)
+    for step_i in range(3):
+        X = _to_tri_frame(np.concatenate([
+            _world_markers(TMPL_A, _rot_z(0.3), t_a),
+            _world_markers(TMPL_B, np.eye(3, dtype=np.float32), t_b),
+        ]))
+        pts, mask = syn.observe(X, Rs, ts, rig)
+        frames = (np.asarray(syn.render_frames(
+            pts, mask, rig.image_size, sigma=0.8)) * 255).astype(np.uint8)
+        eng.process_frame(frames, 1 / 60)
+    assert events
+    bodies = events[-1]["bodies"]
+    idxs = sorted(b["templateIndex"] for b in bodies)
+    assert idxs[:1] == [0] and 1 in idxs, bodies
+    for b in bodies:
+        want = t_a if b["templateIndex"] == 0 else t_b
+        np.testing.assert_allclose(b["t"], want, atol=2e-2)
+    tracked = events[-1]["tracked_bodies"]
+    assert {tb["templateIndex"] for tb in tracked} == {0, 1}
+
+
 def test_offline_recording_with_body_sets():
     """Offline path: both templates recovered across a short recording."""
     from low_cost_mocap_tpu.models.offline import process_recording
