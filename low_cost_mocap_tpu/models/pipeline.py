@@ -291,6 +291,24 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
         body_sets=body_sets, with_obs=with_obs)
 
 
+def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
+                             to_world_matrices, Fs, **kw):
+    """Multi-rig serving: R independent capture volumes in ONE dispatch.
+
+    vmap of ``track_from_blobs`` over a leading rig axis on every
+    argument (states (R, ...) pytree, blobs (R, C, K, 2), per-rig
+    calibrations).  The per-frame device tail is ~50 us while a dispatch
+    through a remote link costs ~250 us — batching R rigs into one
+    program amortises the dispatch so per-chip aggregate throughput
+    scales nearly linearly until the device saturates (measured:
+    benchmarks/multirig.py).  All rigs must share the static config
+    (camera count, blob budget, gates, body sets).
+    """
+    fn = functools.partial(track_from_blobs, **kw)
+    return jax.vmap(fn)(states, blobs, blob_valid, dts, Ps, K, dist,
+                        to_world_matrices, Fs)
+
+
 def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                      to_world_matrix, Fs=None, *, gate_px: float,
                      max_candidates: int, marker_dist1: float,
