@@ -31,8 +31,13 @@ from low_cost_mocap_tpu.ops import detect
 
 @functools.lru_cache(maxsize=16)
 def _compiled_dist_step(mesh: Mesh, axis: str, rig: RigConfig,
-                        cfg: EngineConfig, packed: bool, use_pallas: bool):
-    """Cache the jitted shard_mapped step per (mesh, rig, cfg, mode)."""
+                        cfg: EngineConfig, packed: bool, use_pallas: bool,
+                        with_obs: bool = False, pack: bool = False):
+    """Cache the jitted shard_mapped step per (mesh, rig, cfg, mode).
+
+    ``with_obs``/``pack``: the engine's serving contract — matcher
+    observations for live recalibration, outputs packed into one vector
+    for the single-transfer readback path."""
 
     def step(state, frames_local, dt, Ps, K, dist, M, Fs):
         # frames_local: this shard's (C/d, H, W) cameras
@@ -53,7 +58,7 @@ def _compiled_dist_step(mesh: Mesh, axis: str, rig: RigConfig,
         # the ONE collective: centroids + masks for all cameras
         blobs = jax.lax.all_gather(blobs_l, axis, axis=0, tiled=True)
         valid = jax.lax.all_gather(valid_l, axis, axis=0, tiled=True)
-        return track_from_blobs(
+        st, out = track_from_blobs(
             state, blobs, valid, dt, Ps, K, dist, M, Fs,
             gate_px=cfg.epipolar_gate_px,
             max_candidates=cfg.max_candidates_per_cam,
@@ -61,7 +66,13 @@ def _compiled_dist_step(mesh: Mesh, axis: str, rig: RigConfig,
             marker_dist2=rig.marker_dist_long,
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
-            body_sets=rig.body_sets_resolved())
+            body_sets=rig.body_sets_resolved(),
+            with_obs=with_obs)
+        if pack:
+            from low_cost_mocap_tpu.models.pipeline import pack_outputs
+
+            return st, pack_outputs(out)
+        return st, out
 
     fn = shard_map(
         step, mesh=mesh,

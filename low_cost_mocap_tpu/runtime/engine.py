@@ -40,7 +40,8 @@ class Engine:
                  link: SerialLink, preprocess_frames: bool = False,
                  fast_path: bool | None = None,
                  host_detect: bool | None = None,
-                 artifacts_dir: str | None = None):
+                 artifacts_dir: str | None = None,
+                 mesh=None):
         """``fast_path`` (default: auto — on unless running on CPU) enables
         the production ingest/compute path: host-side threshold + 1-bit
         packed transfer and the fused Pallas detector (bit-identical
@@ -52,7 +53,14 @@ class Engine:
         ingest (``control/native/detect.cc``, bit-identical CC centroids):
         the device step then starts at ``track_from_blobs`` with a
         ~100-byte centroid upload, removing the scatter + detector kernel
-        (~160 us/frame device time) from the hot loop entirely."""
+        (~160 us/frame device time) from the hot loop entirely.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a ``cam`` axis — the live
+        step shards ingest + detection over cameras
+        (``parallel/dist_pipeline.py``; camera count must divide the axis
+        size) and the tail runs replicated.  Mutually exclusive with
+        ``host_detect`` (the point of camera sharding is per-device
+        ingest + on-device detection)."""
         import jax
         import jax.numpy as jnp
 
@@ -66,6 +74,14 @@ class Engine:
         # packed ingest works on any backend; the fused Pallas kernel is
         # TPU-only (interpret mode is test-only, too slow for the live loop)
         self._pallas = self._fast and jax.default_backend() != "cpu"
+        self._mesh = mesh
+        if mesh is not None:
+            if rig.num_cameras % mesh.shape["cam"] != 0:
+                raise ValueError(
+                    f"{rig.num_cameras} cameras not divisible by cam axis "
+                    f"size {mesh.shape['cam']}")
+            self._fast = not preprocess_frames  # packed 1-bit shard ingest
+            host_detect = False
         if host_detect is None:
             host_detect = self._fast
         self._host_detect = bool(host_detect) and self._fast
@@ -170,6 +186,17 @@ class Engine:
             _step_packed, sparse_input=True,
             image_shape=(rig.num_cameras, rig.image_size, rig.image_size),
             **_common), donate_argnums=(0,)) if self._fast else None
+        # Camera-sharded mesh variant: ingest + detection per device shard,
+        # centroids all_gathered, tail replicated (parallel/dist_pipeline).
+        if self._mesh is not None:
+            from low_cost_mocap_tpu.parallel.dist_pipeline import \
+                _compiled_dist_step
+
+            self._step_dist = _compiled_dist_step(
+                self._mesh, "cam", rig, cfg, packed=self._fast,
+                use_pallas=self._pallas, with_obs=True, pack=True)
+        else:
+            self._step_dist = None
         # Host-detect variant: blobs found during ingest (native CCL,
         # control/native/detect.cc) — the device step is the tail only.
         if self._host_detect:
@@ -579,8 +606,18 @@ class Engine:
         # Host arrays go STRAIGHT into the jitted call (no device_put /
         # jnp.asarray): the transfer rides the dispatch RPC, which matters
         # on tunneled devices where every extra round trip costs ~300 us.
-        blob_args = None
-        if self._host_detect:
+        blob_args = mesh_payload = None
+        if self._mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from low_cost_mocap_tpu.ops.detect import pack_frames
+
+            payload = (pack_frames(frames, self.cfg.detect_threshold)
+                       if self._fast else frames)
+            mesh_payload = jax.device_put(
+                payload, NamedSharding(self._mesh, P("cam")))
+        elif self._host_detect:
             from low_cost_mocap_tpu.control.bindings import detect_blobs
             from low_cost_mocap_tpu.ops.detect import pack_frames
 
@@ -596,7 +633,11 @@ class Engine:
             ok, payload = False, frames
         dt32 = np.float32(dt)
         with self._model_lock:
-            if blob_args is not None:
+            if mesh_payload is not None:
+                self._kalman_state, packed = self._step_dist(
+                    self._kalman_state, mesh_payload, dt32,
+                    self._Ps, self._K, self._dist, self._M, self._F)
+            elif blob_args is not None:
                 self._kalman_state, packed = self._step_blobs(
                     self._kalman_state, blob_args[0], blob_args[1], dt32,
                     self._Ps, self._K, self._dist, self._M, self._F)

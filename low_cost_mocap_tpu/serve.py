@@ -34,6 +34,9 @@ def main(argv=None):
                    help="JSON [[[[x,y,z],...], maxInstances], ...] — "
                         "additional distinct rigid-body templates tracked "
                         "simultaneously (see RigConfig.body_sets)")
+    p.add_argument("--cam-shards", type=int, default=0,
+                   help="shard live ingest+detection over this many devices "
+                        "(a 'cam' mesh axis; camera count must divide it)")
     p.add_argument("--artifacts-dir", default="artifacts",
                    help="directory for auto-persisted calibration state")
     args = p.parse_args(argv)
@@ -92,8 +95,16 @@ def main(argv=None):
     else:
         link = serial_link.CollectingLink()
 
+    mesh = None
+    if args.cam_shards:
+        from low_cost_mocap_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(
+            {"cam": args.cam_shards},
+            devices=jax.devices()[:args.cam_shards])
+
     engine = Engine(rig, cfg, source, link,
-                    artifacts_dir=args.artifacts_dir)
+                    artifacts_dir=args.artifacts_dir, mesh=mesh)
     if args.calibration:
         from low_cost_mocap_tpu.utils.artifacts import load_calibration
 
