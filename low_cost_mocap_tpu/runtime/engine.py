@@ -463,6 +463,41 @@ class Engine:
             payload["applied"] = True
         self.emit("body-template", payload)
 
+    def handle_capture_profile(self, data):
+        """Capture a ``jax.profiler`` device trace while the loop runs
+        (SURVEY.md §5: the reference's only 'profiling' is an fps counter;
+        here a TensorBoard-loadable XPlane trace of the live pipeline is
+        one event away).
+
+        data: {"durationMs": 500, "path": optional}.  Emits ``profile``
+        with the trace directory when done (captured in a worker thread so
+        the capture loop keeps running — the trace records IT, not us).
+        """
+        import os
+        import tempfile
+
+        duration_s = float(data.get("durationMs", 500)) / 1e3
+        path = data.get("path") or os.path.join(
+            self.artifacts_dir or tempfile.gettempdir(), "profiles",
+            f"trace-{int(time.time())}")
+        os.makedirs(path, exist_ok=True)
+
+        def capture():
+            import jax
+
+            try:
+                jax.profiler.start_trace(path)
+                time.sleep(duration_s)
+                jax.profiler.stop_trace()
+            except Exception as e:
+                self.emit("profile", {"error": str(e)})
+                return
+            self.emit("profile",
+                      {"path": path, "durationMs": duration_s * 1e3,
+                       "error": None})
+
+        threading.Thread(target=capture, daemon=True).start()
+
     def handle_arm_drone(self, data):
         # computer_code/api/index.py:114-128
         self.drone_armed = list(data["droneArmed"])

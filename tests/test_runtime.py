@@ -302,3 +302,24 @@ def test_refine_camera_pose_live(scene):
     after = med_err(events)
     assert after < before * 0.5, (before, after)
     assert after < 0.3  # sub-pixel after refinement
+
+
+def test_capture_profile_emits_trace(engine, tmp_path):
+    """capture-profile records a TensorBoard-loadable jax.profiler trace
+    while the loop runs and emits its path (SURVEY.md §5 observability)."""
+    import os
+    import time
+
+    eng, source, *_ = engine
+    events = []
+    eng.on("profile", events.append)
+    eng.is_capturing_points = True
+    eng.handle("capture-profile",
+               {"durationMs": 200, "path": str(tmp_path / "trace")})
+    t0 = time.time()
+    while time.time() - t0 < 3.0 and not events:
+        eng.process_frame(source.read(), 1 / 60)
+    eng.is_capturing_points = False
+    assert events and events[0]["error"] is None, events
+    files = [f for _, _, fs in os.walk(events[0]["path"]) for f in fs]
+    assert files  # xplane/trace artifacts written
