@@ -80,7 +80,11 @@ class Engine:
                 raise ValueError(
                     f"{rig.num_cameras} cameras not divisible by cam axis "
                     f"size {mesh.shape['cam']}")
-            self._fast = not preprocess_frames  # packed 1-bit shard ingest
+            if preprocess_frames:
+                raise ValueError(
+                    "mesh mode has no preprocess path (blur/sharpen); "
+                    "use preprocess_frames=False")
+            self._fast = True  # packed 1-bit shard ingest
             host_detect = False
         if host_detect is None:
             host_detect = self._fast
