@@ -11,9 +11,9 @@ is its 150 Hz loop cap on CPU (``computer_code/api/index.py:40-41``);
 Ingest is the engine's production fast path (runtime/engine.py): host-side
 threshold + bit-pack (native SIMD) + native connected-component centroids
 (control/native/detect.cc, bit-identical to the device detector) — the
-device step starts at track_from_blobs with a ~100-byte centroid upload.
-Transfers are double-buffered so host->device latency rides under device
-compute.
+device step starts at track_from_blobs with a ~100-byte centroid upload
+that rides the dispatch RPC (no separate device_put; jax's async dispatch
+pipelines consecutive frames).
 
 Timing: best of 5 windows x 200 frames (the chip-capability number; the
 device sits behind a shared tunnel whose congestion jitters individual

@@ -358,7 +358,8 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
         from low_cost_mocap_tpu.ops import body_tracker
         from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
 
-        if isinstance(body_states, body_tracker.BodyTrackState):
+        legacy_state = isinstance(body_states, body_tracker.BodyTrackState)
+        if legacy_state:
             body_states = (body_states,)  # legacy single-set state
         live = match["valid"]
         b_parts, t_parts, new_bstates = [], [], []
@@ -382,7 +383,11 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
         bodies = jax.tree.map(lambda *xs: jnp.concatenate(xs), *b_parts)
         tracked_bodies = jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *t_parts)
-        new_state = (new_state, tuple(new_bstates))
+        # round-trip the caller's state structure: a legacy bare
+        # BodyTrackState must come back bare, or scan carries and
+        # jitted serving loops retrace on the second frame
+        new_state = (new_state,
+                     new_bstates[0] if legacy_state else tuple(new_bstates))
     else:
         bodies = None
         tracked_bodies = None

@@ -144,6 +144,16 @@ def bundle_adjust(pts, mask, K_stack, Rs0, ts0, *, num_cameras: int,
         Jw = J * w[:, None]
         H = Jw.T @ J                                     # (P, P) MXU
         g = Jw.T @ r
+        if freeze_focals:
+            # constrain BEFORE the solve: zero frozen rows/cols of H (unit
+            # diagonal) and frozen gradient entries, so the free-parameter
+            # delta is the true constrained Newton step — masking only the
+            # solved delta would let focal coupling contaminate the
+            # extrinsic step and stall LM exactly when focals disagree
+            # with the observations
+            H = H * (free_mask[:, None] * free_mask[None, :]) \
+                + jnp.diag(1.0 - free_mask)
+            g = g * free_mask
         I = jnp.eye(nparam, dtype=p.dtype)
 
         def try_lambda(lam):

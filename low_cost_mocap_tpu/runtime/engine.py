@@ -84,6 +84,10 @@ class Engine:
                 raise ValueError(
                     "mesh mode has no preprocess path (blur/sharpen); "
                     "use preprocess_frames=False")
+            if host_detect:
+                raise ValueError(
+                    "mesh mode shards on-device detection per camera "
+                    "shard; host_detect does not apply")
             self._fast = True  # packed 1-bit shard ingest
             host_detect = False
         if host_detect is None:
@@ -315,6 +319,7 @@ class Engine:
             from low_cost_mocap_tpu.models.pipeline import make_init_state
             with self._model_lock:
                 self._kalman_state = make_init_state(self.rig)
+                self._pending.clear()  # drop pre-reset in-flight readbacks
             self.is_capturing_points = True
             self.is_triangulating_points = True
         else:
@@ -702,6 +707,9 @@ class Engine:
             out = unpack_outputs(np.asarray(packed), self.rig.num_cameras,
                                  self.cfg.max_blobs, self.rig.num_objects,
                                  num_bodies=self._num_bodies, with_obs=True)
+            # snapshot the slot->template map with the outputs it describes:
+            # a learn-body-template apply can rebuild it mid-emit otherwise
+            set_of_slot = self._body_set_of_slot
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent
@@ -783,7 +791,7 @@ class Engine:
                     "R": np.asarray(out.bodies.R)[i].tolist(),
                     "t": np.asarray(out.bodies.t)[i].tolist(),
                     "rms": float(np.asarray(out.bodies.rms)[i]),
-                    "templateIndex": int(self._body_set_of_slot[i]),
+                    "templateIndex": int(set_of_slot[i]),
                 } for i in np.where(bv)[0]]
                 tb = out.tracked_bodies
                 tbv = np.asarray(tb.valid)
@@ -792,7 +800,7 @@ class Engine:
                 # on readback once per body per frame
                 payload["tracked_bodies"] = [{
                     "bodyIndex": int(i),
-                    "templateIndex": int(self._body_set_of_slot[i]),
+                    "templateIndex": int(set_of_slot[i]),
                     "pos": np.asarray(tb.pos)[i].tolist(),
                     "vel": np.asarray(tb.vel)[i].tolist(),
                     "quat": np.asarray(tb.quat)[i].tolist(),

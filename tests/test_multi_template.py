@@ -200,6 +200,36 @@ def test_engine_with_body_sets_emits_template_index():
     assert {tb["templateIndex"] for tb in tracked} == {0, 1}
 
 
+def test_legacy_single_state_structure_round_trips():
+    """A legacy (KalmanState, BodyTrackState) input must come back with
+    the SAME pytree structure — scan carries and jitted serving loops
+    retrace (1-3 min on tunneled TPUs) on any structure change."""
+    import jax
+
+    from low_cost_mocap_tpu.models.pipeline import track_from_blobs
+    from low_cost_mocap_tpu.ops import body_tracker, kalman
+
+    Rs, ts, rig0 = syn.ring_rig(num_cameras=4)
+    rig = dataclasses.replace(rig0, body_markers=TMPL_A, max_bodies=1)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = camera.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    legacy = (kalman.init_state(rig.num_objects),
+              body_tracker.init_state(1))
+    new_state, _ = track_from_blobs(
+        legacy, jnp.zeros((4, 8, 2)), jnp.zeros((4, 8), bool),
+        jnp.asarray(1.0 / 60.0), Ps, K, dist,
+        jnp.eye(4, dtype=jnp.float32), None,
+        gate_px=5.0, max_candidates=2,
+        marker_dist1=rig.marker_dist_short,
+        marker_dist2=rig.marker_dist_long,
+        marker_tol=rig.marker_dist_tol,
+        marker_side_min=rig.marker_side_min,
+        body_template=rig.body_template(), max_bodies=1)
+    assert (jax.tree.structure(new_state)
+            == jax.tree.structure(legacy))
+
+
 def test_offline_recording_with_body_sets():
     """Offline path: both templates recovered across a short recording."""
     from low_cost_mocap_tpu.models.offline import process_recording
