@@ -145,6 +145,8 @@ class Engine:
         self.frame_count = 0
         self._learning_frames: list | None = None  # learn-body-template
         self._refine_obs: list | None = None        # refine-camera-pose
+        self._recording: list | None = None         # record-frames
+        self._recording_cap = 0
 
     def _build_steps(self) -> None:
         """(Re)compile the per-frame steps for the current self.rig —
@@ -472,6 +474,36 @@ class Engine:
             payload["applied"] = True
         self.emit("body-template", payload)
 
+    def handle_record_frames(self, data):
+        """Record the raw camera stream to a replayable .npz artifact
+        (``utils/recordings.py``; the reference has no recording facility
+        — SURVEY.md §5).  start: begin collecting frame-sets (capped at
+        ``maxFrames``, default 600); stop: save and emit ``recording``
+        with the path.  Recordings replay through ``RecordedSource`` and
+        the offline pipeline.
+        """
+        import os
+        import tempfile
+
+        if data["startOrStop"] == "start":
+            self._recording_cap = int(data.get("maxFrames", 600))
+            self._recording = []
+            return
+        frames, self._recording = self._recording, None
+        if not frames:
+            self.emit("recording", {"error": "no frames recorded"})
+            return
+        from low_cost_mocap_tpu.utils.recordings import save_recording
+
+        path = data.get("path") or os.path.join(
+            self.artifacts_dir or tempfile.gettempdir(),
+            f"recording-{int(time.time())}.npz")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_recording(path, np.stack(frames), fps=max(self.fps, 1.0),
+                       meta={"num_cameras": self.rig.num_cameras})
+        self.emit("recording",
+                  {"path": path, "frames": len(frames), "error": None})
+
     def handle_capture_profile(self, data):
         """Capture a ``jax.profiler`` device trace while the loop runs
         (SURVEY.md §5: the reference's only 'profiling' is an fps counter;
@@ -643,6 +675,10 @@ class Engine:
         """One frame through the compiled step + reference-shaped emits."""
         with self._frame_lock:
             self._last_frames = frames
+
+        rec = self._recording
+        if rec is not None and len(rec) < self._recording_cap:
+            rec.append(np.asarray(frames, np.uint8))
 
         if not self.is_capturing_points:
             return None

@@ -93,7 +93,7 @@ class MocapServer:
         # events plus the new observability surface)
         for ev in ("image-points", "object-points", "camera-pose",
                    "to-world-coords-matrix", "fps", "metrics",
-                   "engine-error", "body-template", "profile"):
+                   "engine-error", "body-template", "profile", "recording"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring

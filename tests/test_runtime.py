@@ -328,3 +328,26 @@ def test_capture_profile_emits_trace(engine, tmp_path):
     assert events and events[0]["error"] is None, events
     files = [f for _, _, fs in os.walk(events[0]["path"]) for f in fs]
     assert files  # xplane/trace artifacts written
+
+
+def test_record_frames_saves_replayable_npz(engine, tmp_path):
+    """record-frames captures the raw stream to a .npz that RecordedSource
+    and the offline pipeline replay (SURVEY.md §5: the reference has no
+    recording facility)."""
+    from low_cost_mocap_tpu.utils.recordings import load_recording
+
+    eng, source, *_ = engine
+    events = []
+    eng.on("recording", events.append)
+    path = str(tmp_path / "cap.npz")
+    eng.handle("record-frames", {"startOrStop": "start", "maxFrames": 2})
+    sent = [source.read() for _ in range(3)]
+    for f in sent:
+        eng.process_frame(f, 1 / 60)  # third frame exceeds the cap
+    eng.handle("record-frames", {"startOrStop": "stop", "path": path})
+    assert events and events[0]["error"] is None
+    assert events[0]["frames"] == 2
+    frames, fps, meta, _ = load_recording(path)
+    np.testing.assert_array_equal(frames[0], sent[0])
+    np.testing.assert_array_equal(frames[1], sent[1])
+    assert meta["num_cameras"] == eng.rig.num_cameras
