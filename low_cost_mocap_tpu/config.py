@@ -134,6 +134,12 @@ class EngineConfig:
     detect_threshold: float = 0.2
     max_blobs: int = 8              # fixed K blob slots per camera
     cc_iters: int = 24              # label-propagation iterations (≥ blob diameter)
+    # Intensity-weighted sub-pixel centroids on the host-detect path
+    # (control/native/detect.cc): the weighted mean of a Gaussian spot is
+    # its true optical centre; binary centroids (the reference's contour
+    # moments, computer_code/api/helpers.py:152-156) quantise at the
+    # threshold boundary.  Off by default for reference parity.
+    weighted_centroids: bool = False
 
     # correspondence (5 px gate, computer_code/api/helpers.py:375,383)
     epipolar_gate_px: float = 5.0

@@ -87,6 +87,11 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
+    lib.lcm_detect_blobs_weighted_multi.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -236,25 +241,40 @@ def pack_bits(frames_u8: np.ndarray, cutoff: int) -> np.ndarray:
 
 
 def detect_blobs(packed: np.ndarray, height: int, width: int,
-                 max_blobs: int):
+                 max_blobs: int, gray: np.ndarray | None = None):
     """Host-side blob detection over packed 1-bit frames (native CCL).
 
     packed: (C, H, W//8) uint8 MSB-first bitmap (``pack_bits`` output).
     Returns (centroids (C, K, 2) f32 xy, valid (C, K) bool, sizes (C, K)).
     Semantics match ``ops.detect.find_blobs_multi`` on the unpacked frames
     (raster-order components, binary-mass f32 centroids) — see detect.cc.
+
+    ``gray``: optional (C, H, W) uint8 ORIGINAL frames — centroids become
+    intensity-weighted (sub-pixel; the weighted mean of a Gaussian spot is
+    its true optical centre, while the binary centroid quantises at the
+    threshold boundary).  Components/ordering/sizes are unchanged.
     """
     flat = np.ascontiguousarray(packed).reshape(-1)
     C = packed.shape[0]
     cent = np.zeros((C, max_blobs, 2), np.float32)
     valid = np.zeros((C, max_blobs), np.uint8)
     sizes = np.zeros((C, max_blobs), np.float32)
-    get_lib().lcm_detect_blobs_multi(
-        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
-        height, width, max_blobs,
-        cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if gray is not None:
+        gflat = np.ascontiguousarray(gray).reshape(-1)
+        get_lib().lcm_detect_blobs_weighted_multi(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gflat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
+            height, width, max_blobs,
+            cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    else:
+        get_lib().lcm_detect_blobs_multi(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C,
+            height, width, max_blobs,
+            cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return cent, valid.astype(bool), sizes
 
 

@@ -125,4 +125,97 @@ void lcm_detect_blobs_multi(const uint8_t* packed, int32_t n_cams,
                      sizes + c * max_blobs);
 }
 
+// Intensity-weighted variant: same components (8-connectivity over the
+// thresholded bitmap), centroid = sum(I*x)/sum(I) over the component's
+// ORIGINAL uint8 intensities — sub-pixel recovery of a blob's optical
+// centre (a Gaussian spot's weighted mean is its true centre; the binary
+// centroid quantises at the threshold boundary).  Integer sums in int64,
+// one double divide: deterministic regardless of traversal order.
+int32_t lcm_detect_blobs_weighted(const uint8_t* packed,
+                                  const uint8_t* gray, int32_t H,
+                                  int32_t W, int32_t max_blobs,
+                                  float* centroids, uint8_t* valid,
+                                  float* sizes) {
+  static thread_local std::vector<uint32_t> visited;
+  static thread_local uint32_t generation = 0;
+  static thread_local std::vector<int32_t> stack;
+  const int64_t n = static_cast<int64_t>(H) * W;
+  if (static_cast<int64_t>(visited.size()) < n) {
+    visited.assign(n, 0);
+    generation = 0;
+  }
+  ++generation;
+  if (generation == 0) {
+    std::fill(visited.begin(), visited.end(), 0);
+    generation = 1;
+  }
+  const uint32_t gen = generation;
+  stack.clear();
+
+  std::memset(centroids, 0, sizeof(float) * 2 * max_blobs);
+  std::memset(valid, 0, max_blobs);
+  std::memset(sizes, 0, sizeof(float) * max_blobs);
+
+  int32_t k = 0;
+  const int64_t n_words = n >> 6;
+  for (int64_t wi = 0; wi <= n_words && k < max_blobs; ++wi) {
+    if (wi < n_words) {
+      uint64_t w;
+      std::memcpy(&w, packed + (wi << 3), 8);
+      if (w == 0) continue;
+    }
+    const int64_t base = wi << 6;
+    const int64_t end = base + 64 < n ? base + 64 : n;
+    for (int64_t p = base; p < end && k < max_blobs; ++p) {
+      if (!bit_at(packed, p) || visited[p] == gen) continue;
+      int64_t count = 0, wsum = 0, sum_x = 0, sum_y = 0;
+      visited[p] = gen;
+      stack.push_back(static_cast<int32_t>(p));
+      while (!stack.empty()) {
+        const int64_t q = stack.back();
+        stack.pop_back();
+        const int32_t r = static_cast<int32_t>(q / W);
+        const int32_t c = static_cast<int32_t>(q % W);
+        const int64_t I = gray[q];
+        ++count;
+        wsum += I;
+        sum_x += I * c;
+        sum_y += I * r;
+        const int32_t r0 = r > 0 ? r - 1 : 0;
+        const int32_t r1 = r < H - 1 ? r + 1 : H - 1;
+        const int32_t c0 = c > 0 ? c - 1 : 0;
+        const int32_t c1 = c < W - 1 ? c + 1 : W - 1;
+        for (int32_t rr = r0; rr <= r1; ++rr)
+          for (int32_t cc = c0; cc <= c1; ++cc) {
+            const int64_t qq = static_cast<int64_t>(rr) * W + cc;
+            if (visited[qq] != gen && bit_at(packed, qq)) {
+              visited[qq] = gen;
+              stack.push_back(static_cast<int32_t>(qq));
+            }
+          }
+      }
+      const double ws = wsum > 0 ? static_cast<double>(wsum) : 1.0;
+      centroids[2 * k] = static_cast<float>(sum_x / ws);
+      centroids[2 * k + 1] = static_cast<float>(sum_y / ws);
+      valid[k] = 1;
+      sizes[k] = static_cast<float>(count);
+      ++k;
+    }
+  }
+  return k;
+}
+
+void lcm_detect_blobs_weighted_multi(const uint8_t* packed,
+                                     const uint8_t* gray, int32_t n_cams,
+                                     int32_t H, int32_t W,
+                                     int32_t max_blobs, float* centroids,
+                                     uint8_t* valid, float* sizes) {
+  const int64_t fstride = static_cast<int64_t>(H) * W;
+  const int64_t stride = fstride >> 3;
+  for (int32_t c = 0; c < n_cams; ++c)
+    lcm_detect_blobs_weighted(packed + c * stride, gray + c * fstride, H,
+                              W, max_blobs, centroids + c * 2 * max_blobs,
+                              valid + c * max_blobs, sizes + c * max_blobs);
+}
+
 }  // extern "C"

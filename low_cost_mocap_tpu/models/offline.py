@@ -84,7 +84,8 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
 
 
-def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int):
+def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int,
+                          weighted: bool = False):
     """Host-side native blob detection over a whole recording.
 
     frames_u8_seq: (T, C, H, W) uint8.  One fused native pass: SIMD
@@ -92,7 +93,8 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int):
     per frame (``detect.cc``), all T*C frames in ONE FFI call.  Returns
     (blobs (T, C, K, 2) f32, valid (T, C, K) bool) — bit-identical to the
     device detector — ready for ``process_recording(frames_seq=(blobs,
-    valid))``.
+    valid))``.  ``weighted``: intensity-weighted sub-pixel centroids
+    (``EngineConfig.weighted_centroids``).
     """
     import numpy as np
 
@@ -100,9 +102,11 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int):
     from low_cost_mocap_tpu.ops.detect import pack_frames
 
     T, C, H, W = frames_u8_seq.shape
-    bits = pack_frames(np.asarray(frames_u8_seq), threshold)
-    blobs, valid, _ = detect_blobs(bits.reshape(T * C, H, W // 8),
-                                   H, W, max_blobs)
+    frames = np.asarray(frames_u8_seq)
+    bits = pack_frames(frames, threshold)
+    blobs, valid, _ = detect_blobs(
+        bits.reshape(T * C, H, W // 8), H, W, max_blobs,
+        gray=frames.reshape(T * C, H, W) if weighted else None)
     return blobs.reshape(T, C, max_blobs, 2), valid.reshape(T, C, max_blobs)
 
 

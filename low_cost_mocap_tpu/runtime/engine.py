@@ -703,7 +703,8 @@ class Engine:
 
             bits = pack_frames(frames, self.cfg.detect_threshold)
             blobs, bvalid, _ = detect_blobs(
-                bits, frames.shape[1], frames.shape[2], self.cfg.max_blobs)
+                bits, frames.shape[1], frames.shape[2], self.cfg.max_blobs,
+                gray=frames if self.cfg.weighted_centroids else None)
             blob_args = (blobs, bvalid)
         elif self._fast:
             idx, ok, packed = sparse_ingest(

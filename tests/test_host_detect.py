@@ -67,6 +67,35 @@ def test_native_detect_empty_and_overflow(lib):
     np.testing.assert_array_equal(cent[0, :, 0], np.arange(8) * 10.0)
 
 
+def test_weighted_centroids_subpixel_gain(lib):
+    """Intensity-weighted centroids recover Gaussian spot centres with
+    substantially less error than binary centroids (the sub-pixel option,
+    EngineConfig.weighted_centroids)."""
+    rng = np.random.default_rng(0)
+    H = W = 320
+    true_xy = np.stack([rng.uniform(20, 300, 12),
+                        rng.uniform(20, 300, 12)], -1)
+    frame = np.asarray(syn.render_frames(
+        true_xy[:, None, :].astype(np.float32), np.ones((12, 1), bool),
+        H, sigma=1.2))
+    f_u8 = (frame * 255).astype(np.uint8)
+    packed = detect.pack_frames(f_u8, 0.2)
+    cb, vb, sb = lib.detect_blobs(packed, H, W, 16)
+    cw, vw, sw = lib.detect_blobs(packed, H, W, 16, gray=f_u8)
+    # components/ordering/sizes identical — only the centroids move
+    np.testing.assert_array_equal(vb, vw)
+    np.testing.assert_array_equal(sb, sw)
+
+    def mean_err(cents, valid):
+        return np.mean([np.linalg.norm(true_xy - c, axis=1).min()
+                        for c, v in zip(cents[0], valid[0]) if v])
+
+    e_bin, e_w = mean_err(cb, vb), mean_err(cw, vw)
+    assert vb[0].sum() == 12
+    assert e_w < 0.6 * e_bin, (e_bin, e_w)
+    assert e_w < 0.1  # sub-0.1-px on clean Gaussian spots
+
+
 def test_engine_host_detect_matches_reference_path():
     """Full engine with host detection reproduces the slow path's outputs."""
     import jax
