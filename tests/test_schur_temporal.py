@@ -108,3 +108,48 @@ def test_smooth_sharded_matches_sequential():
     # interior matches tightly; block edges inherit halo accuracy
     err = np.abs(ours - ref)[40:-40]
     assert err.max() < 1e-4, err.max()
+
+
+def test_process_sequence_from_host_blobs():
+    """Time-sharded vision over HOST-DETECTED blobs (the production
+    offline fast path): pytree (blobs, valid) input shards over the time
+    axis with zero collectives, results match the unsharded run."""
+    import pytest
+
+    from low_cost_mocap_tpu.ops import camera, correspond
+
+    try:
+        from low_cost_mocap_tpu.models.offline import detect_recording_host
+        from low_cost_mocap_tpu.control.bindings import get_lib
+
+        get_lib()
+    except Exception as e:  # pragma: no cover - no toolchain
+        pytest.skip(f"native lib unavailable: {e}")
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=2, image_size=64)
+    rng = np.random.default_rng(0)
+    T = 16
+    frames_u8 = (np.stack([
+        syn.render_frames(*_obs(rng, Rs, ts, rig), rig.image_size, sigma=0.8)
+        for _ in range(T)
+    ]) * 255).astype(np.uint8)
+    blobs, valid = detect_recording_host(frames_u8, 0.2, 4)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = camera.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+
+    def per_frame(inp):
+        b, v = inp
+        bu = camera.undistort_points(b, K[:, None], dist[:, None])
+        bu = jnp.where(v[..., None], bu, 0.0)
+        m = correspond.match_points(bu, v, Ps)
+        return m["object_points"], m["valid"]
+
+    m = mesh_lib.make_mesh({"time": 8})
+    pts_s, val_s = temporal.process_sequence(
+        m, (jnp.asarray(blobs), jnp.asarray(valid)), per_frame)
+    pts_1, val_1 = jax.vmap(per_frame)((jnp.asarray(blobs),
+                                        jnp.asarray(valid)))
+    np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_1))
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_1),
+                               atol=1e-6)
