@@ -25,6 +25,9 @@ def main(argv=None):
                    default="loopback")
     p.add_argument("--serial-device", default="/dev/ttyUSB0")
     p.add_argument("--fps", type=float, default=150.0)
+    p.add_argument("--weighted-centroids", action="store_true",
+                   help="intensity-weighted sub-pixel blob centroids "
+                        "(host-detect path; ~2x lower 3D marker error)")
     p.add_argument("--calibration", help="calibration artifact (json) to load")
     p.add_argument("--body-markers",
                    help="JSON [[x,y,z],...] rigid-body template (engine "
@@ -52,7 +55,8 @@ def main(argv=None):
     # tunneled/remote accelerators have ~20 ms device->host fetch latency;
     # overlap it with compute by harvesting results a few frames late
     depth = 0 if jax.default_backend() == "cpu" else 6
-    cfg = EngineConfig(target_fps=args.fps, readback_pipeline_depth=depth)
+    cfg = EngineConfig(target_fps=args.fps, readback_pipeline_depth=depth,
+                       weighted_centroids=args.weighted_centroids)
 
     body_kw = {}
     if args.body_markers:
