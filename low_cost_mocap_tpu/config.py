@@ -156,6 +156,11 @@ class EngineConfig:
     # tracking (computer_code/api/KalmanFilter.py:33-34,45-47)
     kalman_process_noise: float = 1e-2
     kalman_measurement_noise: float = 1.0
+    # "pre" reports the predicted state (the reference's statePre quirk —
+    # the report never includes the current frame's measurement,
+    # KalmanFilter.py:83,94); "post" reports the corrected state
+    # (measured: steady-state tracked ATE 3.0 -> 2.5 mm)
+    kalman_report: str = "pre"
     lpf_cutoff_hz: float = 20.0
     lpf_sample_hz: float = 60.0
     lpf_order: int = 5

@@ -186,7 +186,8 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
 
         def track_step(st, inp):
             l_pos, l_head, l_idx, l_valid, dt = inp
-            st2, out = kalman.update(st, l_pos, l_head, l_idx, l_valid, dt)
+            st2, out = kalman.update(st, l_pos, l_head, l_idx, l_valid, dt,
+                                     report=cfg.kalman_report)
             return st2, out
 
         _, tracked = jax.lax.scan(

@@ -235,7 +235,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
                image_shape: tuple[int, int, int] | None = None,
                use_pallas: bool = False,
                body_template=None, max_bodies: int = 2,
-               body_sets=None, with_obs: bool = False):
+               body_sets=None, with_obs: bool = False,
+               kalman_report: str = "pre"):
     """Pure per-frame step (see module docstring). Fully static shapes.
 
     ``packed_input=True`` takes (C, H, W//8) uint8 bit-packed binary frames
@@ -288,7 +289,8 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
         marker_dist1=marker_dist1, marker_dist2=marker_dist2,
         marker_tol=marker_tol, marker_side_min=marker_side_min,
         body_template=body_template, max_bodies=max_bodies,
-        body_sets=body_sets, with_obs=with_obs)
+        body_sets=body_sets, with_obs=with_obs,
+        kalman_report=kalman_report)
 
 
 def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
@@ -315,7 +317,7 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                      marker_dist2: float, marker_tol: float,
                      marker_side_min: float, body_template=None,
                      max_bodies: int = 2, body_sets=None,
-                     with_obs: bool = False):
+                     with_obs: bool = False, kalman_report: str = "pre"):
     """Post-detection tail of the per-frame step: undistort -> match ->
     world -> rigid fit -> trackers.  Split out so the camera-sharded
     distributed step (``parallel/dist_pipeline.py``) can run detection
@@ -352,7 +354,8 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                                    side_min=marker_side_min,
                                    ax_h1=0, ax_h2=2)
     new_state, tracked = kalman.update(
-        state, located.pos, located.heading, located.index, located.valid, dt)
+        state, located.pos, located.heading, located.index, located.valid,
+        dt, report=kalman_report)
 
     if body_sets:
         from low_cost_mocap_tpu.ops import body_tracker

@@ -67,6 +67,7 @@ def _compiled_dist_step(mesh: Mesh, axis: str, rig: RigConfig,
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
             body_sets=rig.body_sets_resolved(),
+            kalman_report=cfg.kalman_report,
             with_obs=with_obs)
         if pack:
             from low_cost_mocap_tpu.models.pipeline import pack_outputs

@@ -169,6 +169,7 @@ class Engine:
             marker_tol=rig.marker_dist_tol,
             marker_side_min=rig.marker_side_min,
             body_sets=rig.body_sets_resolved(),
+            kalman_report=cfg.kalman_report,
             with_obs=True,   # live recalibration needs the matcher's
                              # correspondence-resolved observations
         )

@@ -140,3 +140,35 @@ def test_track_sequence_scan_matches_stepwise():
     for t in range(T):
         st2, o = kalman.update(st2, cp[t], ch[t], ci[t], cv_[t], dt)
         np.testing.assert_allclose(np.asarray(outs.pos)[t], np.asarray(o.pos), atol=1e-5)
+
+
+def test_kalman_report_post_reduces_lag():
+    """report='post' includes the current frame's measurement; on a
+    constant-velocity track its steady-state error must undercut the
+    reference's statePre reporting (which never sees the newest frame)."""
+    import jax.numpy as jnp
+
+    from low_cost_mocap_tpu.ops import kalman
+
+    T, v = 60, np.array([0.3, 0.0, 0.0], np.float32)
+    dt = 1.0 / 60.0
+    errs = {}
+    for report in ("pre", "post"):
+        st = kalman.init_state(1)
+        es = []
+        for t in range(T):
+            pos = v * (t * dt)
+            st, out = kalman.update(
+                st, jnp.asarray(pos[None]), jnp.zeros((1,)),
+                jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray(dt), report=report)
+            if t > 20:
+                es.append(np.linalg.norm(np.asarray(out.pos)[0] - pos))
+        errs[report] = float(np.mean(es))
+    assert errs["post"] < errs["pre"], errs
+
+    with np.testing.assert_raises(Exception):
+        kalman.update(kalman.init_state(1), jnp.zeros((1, 3)),
+                      jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+                      jnp.ones((1,), bool), jnp.asarray(dt),
+                      report="bogus")
