@@ -90,15 +90,35 @@ def update(state: BodyTrackState, fit_t, fit_R, fit_rms, fit_valid, dt, *,
     d = jnp.linalg.norm(pred_pos[:, None, :] - fit_t[None, :, :], axis=-1)
     d = jnp.where(meas_ok[None, :], d, jnp.inf)          # (I, F)
 
-    # greedy association, active tracks first (statically unrolled)
-    claimed = jnp.zeros((F,), bool)
-    match_idx = jnp.full((I,), -1, jnp.int32)
-    for i in range(I):
-        di = jnp.where(claimed, jnp.inf, d[i])
-        j = jnp.argmin(di)
-        ok = state.active[i] & (di[j] < gate_m)
-        match_idx = match_idx.at[i].set(jnp.where(ok, j, -1))
-        claimed = claimed | (jnp.zeros((F,), bool).at[j].set(ok))
+    if max(I, F) <= 8:
+        # globally optimal track<->fit matching (ops/assignment.py): the
+        # greedy order can swap identities when two bodies approach; the
+        # exhaustive matcher is exact and one einsum at these sizes
+        from low_cost_mocap_tpu.ops.assignment import assign
+
+        BIG = jnp.asarray(1e9, d.dtype)
+        S = max(I, F)
+        cost = jnp.full((S, S), BIG, d.dtype)
+        d_gated = jnp.where(jnp.isfinite(d) & state.active[:, None]
+                            & (d < gate_m), d, BIG)
+        cost = cost.at[:I, :F].set(d_gated)
+        col, _ = assign(cost)
+        col = col[:I]
+        ok = state.active & (col < F) & (
+            cost[jnp.arange(I), col] < gate_m)
+        match_idx = jnp.where(ok, col.astype(jnp.int32), -1)
+        claimed = jnp.zeros((F,), bool).at[
+            jnp.where(ok, col, F)].set(True, mode="drop")
+    else:
+        # greedy association, active tracks first (statically unrolled)
+        claimed = jnp.zeros((F,), bool)
+        match_idx = jnp.full((I,), -1, jnp.int32)
+        for i in range(I):
+            di = jnp.where(claimed, jnp.inf, d[i])
+            j = jnp.argmin(di)
+            ok = state.active[i] & (di[j] < gate_m)
+            match_idx = match_idx.at[i].set(jnp.where(ok, j, -1))
+            claimed = claimed | (jnp.zeros((F,), bool).at[j].set(ok))
 
     matched = match_idx >= 0
     j_safe = jnp.maximum(match_idx, 0)
