@@ -57,8 +57,8 @@ class Engine:
 
         ``mesh``: a ``jax.sharding.Mesh`` with a ``cam`` axis — the live
         step shards ingest + detection over cameras
-        (``parallel/dist_pipeline.py``; camera count must divide the axis
-        size) and the tail runs replicated.  Mutually exclusive with
+        (``parallel/dist_pipeline.py``; the axis size must divide the
+        camera count) and the tail runs replicated.  Mutually exclusive with
         ``host_detect`` (the point of camera sharding is per-device
         ingest + on-device detection)."""
         import jax

@@ -39,7 +39,7 @@ def main(argv=None):
                         "simultaneously (see RigConfig.body_sets)")
     p.add_argument("--cam-shards", type=int, default=0,
                    help="shard live ingest+detection over this many devices "
-                        "(a 'cam' mesh axis; camera count must divide it)")
+                        "(a 'cam' mesh axis that must divide the camera count)")
     p.add_argument("--artifacts-dir", default="artifacts",
                    help="directory for auto-persisted calibration state")
     args = p.parse_args(argv)
