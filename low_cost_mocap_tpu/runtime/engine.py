@@ -28,7 +28,6 @@ import numpy as np
 from low_cost_mocap_tpu.config import EngineConfig, RigConfig
 from low_cost_mocap_tpu.models.pipeline import (frame_step,
                                                 unpack_outputs)
-from low_cost_mocap_tpu.ops import kalman as kalman_ops
 from low_cost_mocap_tpu.ops.detect import sparse_ingest
 from low_cost_mocap_tpu.ops.rotations import quat_to_matrix_np
 from low_cost_mocap_tpu.runtime.serial_link import SerialLink

@@ -96,6 +96,41 @@ def test_weighted_centroids_subpixel_gain(lib):
     assert e_w < 0.1  # sub-0.1-px on clean Gaussian spots
 
 
+def test_engine_weighted_centroids_runs_close_to_binary():
+    """EngineConfig.weighted_centroids: same detections, sub-pixel-shifted
+    centroids — reconstructed points stay within a pixel-noise bound of
+    the binary path."""
+    import jax
+
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("CPU-only parity test")
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.runtime.engine import Engine
+    from low_cost_mocap_tpu.runtime.serial_link import CollectingLink
+    from low_cost_mocap_tpu.runtime.sources import SyntheticSource
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    outs = []
+    src = SyntheticSource(rig, Rs, ts, num_drones=1, orbit_hz=0.0)
+    frames = src.read()
+    for weighted in (False, True):
+        e = Engine(rig, EngineConfig(weighted_centroids=weighted),
+                   SyntheticSource(rig, Rs, ts, num_drones=1),
+                   CollectingLink(), fast_path=True, host_detect=True)
+        e.set_camera_poses(Rs, ts)
+        e.is_capturing_points = True
+        e.is_triangulating_points = True
+        outs.append(e.process_frame(frames, 1 / 60))
+    pv = [np.asarray(o.point_valid) for o in outs]
+    np.testing.assert_array_equal(pv[0], pv[1])
+    np.testing.assert_allclose(np.asarray(outs[0].object_points)[pv[0]],
+                               np.asarray(outs[1].object_points)[pv[1]],
+                               atol=5e-3)
+    # ...but not identical (the weighting really changed the centroids)
+    assert not np.array_equal(np.asarray(outs[0].blob_px),
+                              np.asarray(outs[1].blob_px))
+
+
 def test_engine_host_detect_matches_reference_path():
     """Full engine with host detection reproduces the slow path's outputs."""
     import jax
