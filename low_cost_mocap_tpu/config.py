@@ -171,6 +171,16 @@ class EngineConfig:
     # fall back to the dense 1-bit packed path, bit-exactly.
     sparse_budget: int = 2048
 
+    # Per-camera failure detection + elastic recovery (runtime/health.py;
+    # the reference leaves camera dropout unhandled — SURVEY.md §5).
+    # A camera whose frames are bit-identical for ``health_freeze_frames``
+    # consecutive frames (while others change) is masked out of the rig
+    # until its stream moves again; ``health_dark_frames`` of zero blobs
+    # (while >= 2 other cameras see blobs) flags an advisory "dark" state.
+    health_enabled: bool = True
+    health_freeze_frames: int = 15
+    health_dark_frames: int = 90
+
     # runtime
     target_fps: float = 150.0             # computer_code/api/index.py:40-41
     serial_baud: int = 1_000_000          # computer_code/api/index.py:21

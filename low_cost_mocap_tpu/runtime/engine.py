@@ -146,6 +146,12 @@ class Engine:
         self._refine_obs: list | None = None        # refine-camera-pose
         self._recording: list | None = None         # record-frames
         self._recording_cap = 0
+        # per-camera failure detection + elastic recovery (runtime/health.py)
+        from low_cost_mocap_tpu.runtime.health import CameraHealthMonitor
+        self.health = (CameraHealthMonitor(
+            rig.num_cameras, freeze_frames=cfg.health_freeze_frames,
+            dark_frames=cfg.health_dark_frames)
+            if cfg.health_enabled else None)
 
     def _build_steps(self) -> None:
         """(Re)compile the per-frame steps for the current self.rig —
@@ -680,8 +686,27 @@ class Engine:
         if rec is not None and len(rec) < self._recording_cap:
             rec.append(np.asarray(frames, np.uint8))
 
+        if self.health is not None:
+            # frozen-transport detection on the RAW stream (recording above
+            # keeps the unmasked truth); a frozen camera is masked out of
+            # the rig below and rejoins automatically when its frames move
+            for cam, status in self.health.update(frames):
+                self.emit("camera-health",
+                          {"camera": int(cam), "status": status})
+
         if not self.is_capturing_points:
             return None
+
+        if self.health is not None:
+            frozen = self.health.frozen_mask
+            if frozen.any():
+                # copy, never mutate the source's buffer (RecordedSource
+                # returns views into its stored array); zeroed frames mean
+                # zero blobs on EVERY ingest path (dense/packed/sparse/
+                # host-detect/mesh) — the mask is data, not structure, so
+                # nothing recompiles and >= 2 live views still triangulate
+                frames = frames.copy()
+                frames[frozen] = 0
 
         # Host arrays go STRAIGHT into the jitted call (no device_put /
         # jnp.asarray): the transfer rides the dispatch RPC, which matters
@@ -747,6 +772,12 @@ class Engine:
             # snapshot the slot->template map with the outputs it describes:
             # a learn-body-template apply can rebuild it mid-emit otherwise
             set_of_slot = self._body_set_of_slot
+
+        if self.health is not None:
+            counts = np.asarray(out.blob_valid).sum(axis=1)
+            for cam, status in self.health.update_blobs(counts):
+                self.emit("camera-health",
+                          {"camera": int(cam), "status": status})
 
         if self.is_capturing_points and not self.is_triangulating_points:
             # first blob per camera, [None, None] when absent

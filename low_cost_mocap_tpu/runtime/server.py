@@ -93,7 +93,8 @@ class MocapServer:
         # events plus the new observability surface)
         for ev in ("image-points", "object-points", "camera-pose",
                    "to-world-coords-matrix", "fps", "metrics",
-                   "engine-error", "body-template", "profile", "recording"):
+                   "engine-error", "body-template", "profile", "recording",
+                   "camera-health"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring
