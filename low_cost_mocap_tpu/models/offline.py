@@ -34,6 +34,10 @@ class SequenceResult(NamedTuple):
     #                             body_template was passed (6-DoF fits)
     body_tracks: object = None  # body_tracker.TrackedBodies (T, I, ...) —
     #                             gated + smoothed 6-DoF tracks
+    smoothed: object = None     # TrackedObjects (T, O, ...) — RTS
+    #                             fixed-interval smoothed drone tracks
+    #                             (``smooth=True``; removes the causal
+    #                             filter's lag, the dominant ATE term)
 
 
 def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
@@ -41,7 +45,7 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
                       sparse: bool = False, chunk: int = 32,
                       use_pallas: bool | None = None,
                       body_template=None, max_bodies: int = 2,
-                      body_sets=None):
+                      body_sets=None, smooth: bool = False):
     """Run a full recording through vision + tracking in one jit.
 
     frames_seq: (T, C, H, W) uint8, (T, C, H, W//8) when ``packed``, or
@@ -62,6 +66,10 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     templates fit simultaneously per frame, each consuming its matched
     points before the next (outputs concatenated over slots in set order);
     ``body_template``/``max_bodies`` is single-set shorthand.
+    smooth: additionally run the fixed-interval RTS smoother over the
+    drone tracks (``ops.kalman.smooth_sequence`` — an acausal forward+
+    backward pass only an offline mode can have); result in
+    ``SequenceResult.smoothed``.
 
     Alternatively pass ``frames_seq=(blobs_seq, blob_valid_seq)`` with
     shapes (T, C, K, 2)/(T, C, K) — e.g. from ``detect_recording_host``
@@ -80,7 +88,8 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
     if body_sets is None and body_template is not None:
         body_sets = ((body_template, int(max_bodies)),)
     run = _compiled_run(rig, cfg, bool(packed), bool(sparse), int(chunk),
-                        bool(use_pallas), body_sets, from_blobs)
+                        bool(use_pallas), body_sets, from_blobs,
+                        bool(smooth))
     return run(frames_seq, dts, Ps, K, dist, to_world_matrix)
 
 
@@ -113,7 +122,8 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int,
 @functools.lru_cache(maxsize=16)
 def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                   sparse: bool, chunk: int, use_pallas: bool,
-                  body_sets=None, from_blobs: bool = False):
+                  body_sets=None, from_blobs: bool = False,
+                  smooth: bool = False):
     """Cache the compiled sequence program per (rig, cfg, mode) — building
     the jit inline made every call retrace AND recompile."""
 
@@ -194,6 +204,14 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
             track_step, st0,
             (loc.pos, loc.heading, loc.index, loc.valid, dts))
 
+        smoothed = None
+        if smooth:
+            smoothed, _ = kalman.smooth_sequence(
+                kalman.init_state(rig.num_objects),
+                loc.pos, loc.heading, loc.index, loc.valid, dts,
+                process_noise=cfg.kalman_process_noise,
+                meas_noise=cfg.kalman_measurement_noise)
+
         body_tracks = None
         if bodies is not None:
             from low_cost_mocap_tpu.ops import body_tracker
@@ -215,6 +233,6 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
             body_tracks = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=1), *track_parts)
         return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid,
-                              tracked, bodies, body_tracks)
+                              tracked, bodies, body_tracks, smoothed)
 
     return run

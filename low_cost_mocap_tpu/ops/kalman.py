@@ -73,10 +73,13 @@ def _transition(dt, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("process_noise", "meas_noise",
-                                             "gap_reset_s", "report"))
+                                             "gap_reset_s", "report",
+                                             "advance_on_miss",
+                                             "return_cov"))
 def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
            dt, *, process_noise: float = 1e-2, meas_noise: float = 1.0,
-           gap_reset_s: float = 0.5, report: str = "pre"):
+           gap_reset_s: float = 0.5, report: str = "pre",
+           advance_on_miss: bool = False, return_cov: bool = False):
     """One tracking step for the whole bank.
 
     cand_*: (M,) candidate detections from ``ops.rigid.locate_objects``
@@ -97,6 +100,16 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     (measured: steady-state tracked ATE 3.0 -> 2.5 mm on the synthetic
     orbit rig — the CA model predicts well, so the prediction-only lag is
     a fraction of the total).  Default "pre" for reference parity.
+
+    ``advance_on_miss``: on frames with no detection for an object, commit
+    the PREDICTED (x_pre, P_pre) instead of freezing the state (the live
+    default, which mirrors the reference's no-measurement ``continue``).
+    Every frame then carries exactly one predict(dt) step, which is the
+    precondition for exact fixed-interval smoothing (``rts_smooth``) —
+    and the principled offline behavior: covariance grows through gaps.
+
+    ``return_cov``: additionally return the per-frame committed
+    (x (O, 9), P (O, 9, 9)) — the inputs ``rts_smooth`` consumes.
     """
     if report not in ("pre", "post"):
         raise ValueError(f"report must be 'pre' or 'post', got {report!r}")
@@ -155,11 +168,21 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         lv2, vel_f = lowpass.lpf_step(lv, x_rep[3:6], b, a)
 
         # commit only when this object had a detection (reference `continue`)
+        # — unless advance_on_miss: then an initialized object commits its
+        # prediction through the gap (one predict(dt) per frame, exactly)
         upd = lambda new, old: jnp.where(any_mine, new, old)
+        if advance_on_miss:
+            x_commit = jnp.where(any_mine, x_post,
+                                 jnp.where(inited, x_pre, x))
+            P_commit = jnp.where(any_mine, P_post,
+                                 jnp.where(inited, P_pre, P))
+        else:
+            x_commit = upd(x_post, x)
+            P_commit = upd(P_post, P)
         new_age = jnp.where(any_mine, 0.0, age + dt)
         out = (
-            upd(x_post, x),
-            upd(P_post, P),
+            x_commit,
+            P_commit,
             inited,
             upd(new_pos, prev_pos),
             upd(lh2, lh),
@@ -178,12 +201,15 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     pos = jnp.where(ok[:, None], pos, 0.0)
     vel = jnp.where(ok[:, None], vel, 0.0)
     heading = jnp.where(ok, heading, 0.0)
-    return new_state, TrackedObjects(pos, vel, heading, ok)
+    tracked = TrackedObjects(pos, vel, heading, ok)
+    if return_cov:
+        return new_state, (tracked, new_state.x, new_state.P)
+    return new_state, tracked
 
 
 def track_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
                    cand_index_seq, cand_valid_seq, dts, **kw):
-    """Offline smoothing of a recorded sequence via one lax.scan.
+    """Offline filtering of a recorded sequence via one lax.scan.
 
     cand_*_seq: (T, M, ...) per-frame candidate tensors; dts: (T,).
     """
@@ -195,3 +221,80 @@ def track_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
     return jax.lax.scan(
         step, state,
         (cand_pos_seq, cand_heading_seq, cand_index_seq, cand_valid_seq, dts))
+
+
+def rts_smooth(xs, Ps, dts, *, process_noise: float = 1e-2):
+    """Fixed-interval Rauch-Tung-Striebel smoother over filtered states.
+
+    The live tracker is causal, so its estimate lags the true trajectory
+    by construction (the dominant term of the measured ~3 mm tracked ATE);
+    offline, the whole recording is known and the backward RTS pass
+    removes that lag.  No reference analogue (SURVEY.md §5 — the
+    reference keeps no server-side history at all).
+
+    xs: (T, O, 9) filtered means, Ps: (T, O, 9, 9) filtered covariances —
+    the ``return_cov`` outputs of a forward pass that performed exactly
+    one predict(dts[k]) per frame (``advance_on_miss=True``); dts[k] is
+    the interval between frames k-1 and k.
+    Returns (xs_smooth (T, O, 9), Ps_smooth (T, O, 9, 9)).
+
+    Recursion (k = T-2 .. 0), per object:
+        P_pred  = F_k P_k F_k' + Q        with F_k = F(dts[k+1])
+        C_k     = P_k F_k' P_pred^{-1}
+        x_s[k]  = x[k] + C_k (x_s[k+1] - F_k x[k])
+        P_s[k]  = P_k + C_k (P_s[k+1] - P_pred) C_k'
+    One backward lax.scan, batched over the object axis.
+    """
+    dtype = xs.dtype
+    Q = jnp.eye(9, dtype=dtype) * process_noise
+
+    def backward(carry, inp):
+        x_next_s, P_next_s = carry           # smoothed k+1, (O, 9)/(O, 9, 9)
+        x_k, P_k, dt_next = inp              # filtered k, dt of step k->k+1
+        F = _transition(dt_next, dtype)
+        x_pred = jnp.einsum("ij,oj->oi", F, x_k)
+        P_pred = jnp.einsum("ij,ojk,lk->oil", F, P_k, F) + Q
+        C = jnp.einsum("oij,kj,okl->oil", P_k, F,
+                       jnp.linalg.inv(P_pred))
+        x_s = x_k + jnp.einsum("oij,oj->oi", C, x_next_s - x_pred)
+        P_s = P_k + jnp.einsum("oij,ojk,olk->oil", C, P_next_s - P_pred, C)
+        return (x_s, P_s), (x_s, P_s)
+
+    (_, _), (xs_s, Ps_s) = jax.lax.scan(
+        backward, (xs[-1], Ps[-1]), (xs[:-1], Ps[:-1], dts[1:]),
+        reverse=True)
+    xs_s = jnp.concatenate([xs_s, xs[-1:]], axis=0)
+    Ps_s = jnp.concatenate([Ps_s, Ps[-1:]], axis=0)
+    return xs_s, Ps_s
+
+
+def smooth_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
+                    cand_index_seq, cand_valid_seq, dts, *,
+                    process_noise: float = 1e-2, **kw):
+    """Forward filter + RTS backward pass over a recorded sequence.
+
+    Returns (TrackedObjects with (T, O, ...) smoothed pos/vel —
+    valid/heading passed through from the causal filter — ,
+    xs_smooth (T, O, 9)).  The forward pass runs ``advance_on_miss=True``
+    + ``report="post"`` (each frame = one predict+commit, the smoother's
+    precondition); all inside jit-compatible scans.
+    """
+    def step(s, inputs):
+        cp, ch, ci, cv, dt = inputs
+        s2, (out, x, P) = update(s, cp, ch, ci, cv, dt,
+                                 process_noise=process_noise,
+                                 report="post", advance_on_miss=True,
+                                 return_cov=True, **kw)
+        return s2, (out, x, P)
+
+    _, (tracked, xs, Ps) = jax.lax.scan(
+        step, state,
+        (cand_pos_seq, cand_heading_seq, cand_index_seq, cand_valid_seq,
+         dts))
+    xs_s, _ = rts_smooth(xs, Ps, dts, process_noise=process_noise)
+    smoothed = TrackedObjects(
+        pos=jnp.where(tracked.valid[..., None], xs_s[..., :3], 0.0),
+        vel=jnp.where(tracked.valid[..., None], xs_s[..., 3:6], 0.0),
+        heading=tracked.heading,
+        valid=tracked.valid)
+    return smoothed, xs_s
