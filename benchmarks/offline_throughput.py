@@ -71,6 +71,26 @@ def main(T: int = 512):
           f"{rig.image_size}x{rig.image_size}, incl. host detect + "
           f"host->device transfer)")
 
+    # block-streamed mode: bounded memory (O(block)), tracker state carried
+    # across dispatches, host detect of block i+1 overlapped with block i's
+    # device program (models/offline.stream_recording)
+    from low_cost_mocap_tpu.models.offline import stream_recording
+
+    for block in (64, 128):
+        got, _ = stream_recording(frames_u8, Ps, K, dist, M, rig, cfg,
+                                  block=block)                 # warm
+        jax.block_until_ready(got.object_points)
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got, _ = stream_recording(frames_u8, Ps, K, dist, M, rig, cfg,
+                                      block=block)
+            jax.block_until_ready(got.object_points)
+            best_s = min(best_s, time.perf_counter() - t0)
+        print(f"streamed  throughput (block={block}): "
+              f"{T / best_s:.0f} frames/s  (carried state, "
+              f"host detect overlapped)")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 512)

@@ -119,6 +119,115 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int,
     return blobs.reshape(T, C, max_blobs, 2), valid.reshape(T, C, max_blobs)
 
 
+def stream_recording(frames_u8_seq, Ps, K, dist, to_world_matrix,
+                     rig: RigConfig, cfg: EngineConfig, dts=None,
+                     block: int = 64, state=None, body_sets=None,
+                     weighted: bool = False):
+    """Block-streamed processing: unbounded recordings, bounded memory,
+    host detection overlapped with device compute.
+
+    ``process_recording`` compiles one program over the WHOLE recording —
+    ideal for fixed evaluations, but it holds the full sequence on device
+    and host-side native detection for the entire recording completes
+    before the device starts.  This variant processes ``block`` framesets
+    per dispatch with the tracker state carried across dispatches
+    (bit-identical track outputs — the same per-frame update chain), so:
+
+    - memory is O(block), independent of recording length;
+    - JAX's async dispatch overlaps the NEXT block's host-side native
+      detection (``detect_recording_host``) with the CURRENT block's
+      device program — on a tunneled device the dispatch+compute time
+      hides the host work entirely;
+    - an endless source (live replay, growing file) can be consumed
+      incrementally: pass ``state`` back in to continue.
+
+    frames_u8_seq: (T, C, H, W) uint8 with T % block == 0 (pad or trim
+    the tail frame-sets; a partial block would recompile).
+    Returns (SequenceResult without bodies, final tracker state).
+    """
+    import numpy as np
+
+    from low_cost_mocap_tpu.ops import kalman as _k
+
+    if body_sets:
+        raise NotImplementedError(
+            "stream_recording tracks the drone bank; use "
+            "process_recording for body sets")
+    T = frames_u8_seq.shape[0]
+    if T % block != 0:
+        raise ValueError(f"T={T} not divisible by block={block}")
+    if dts is None:
+        dts = np.full((T,), 1.0 / cfg.target_fps, np.float32)
+    dts = np.asarray(dts, np.float32)
+    if state is None:
+        state = _k.init_state(rig.num_objects)
+
+    run = _compiled_block(rig, cfg)
+    frames = np.asarray(frames_u8_seq)
+
+    def detect(i):
+        blk = frames[i * block:(i + 1) * block]
+        return detect_recording_host(blk, cfg.detect_threshold,
+                                     cfg.max_blobs, weighted=weighted)
+
+    outs = []
+    nxt = detect(0)
+    for i in range(T // block):
+        blobs, valid = nxt
+        # dispatch is async: the device chews on this block while the host
+        # detects the next one
+        state, out = run(state, blobs, valid,
+                         dts[i * block:(i + 1) * block],
+                         Ps, K, dist, to_world_matrix)
+        if i + 1 < T // block:
+            nxt = detect(i + 1)
+        outs.append(out)
+    res = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    return res, state
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_block(rig: RigConfig, cfg: EngineConfig):
+    """One compiled block step for ``stream_recording``: vmapped vision
+    tail over the block, tracker scan with carried state."""
+    from low_cost_mocap_tpu.ops import kalman as _k
+
+    def vision(blobs, bvalid, Ps, K, dist, to_world_matrix):
+        blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
+        blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
+        m = correspond.match_points(blobs_u, bvalid, Ps,
+                                    gate_px=cfg.epipolar_gate_px,
+                                    max_candidates=cfg.max_candidates_per_cam)
+        pts_w = world.to_world(m["object_points"], to_world_matrix)
+        pts_w = jnp.where(m["valid"][:, None], pts_w, 0.0)
+        loc = rigid.locate_objects(pts_w, m["errors"], m["valid"],
+                                   dist1=rig.marker_dist_short,
+                                   dist2=rig.marker_dist_long,
+                                   tol=rig.marker_dist_tol,
+                                   side_min=rig.marker_side_min,
+                                   ax_h1=0, ax_h2=2)
+        return pts_w, m["valid"], m["errors"], loc
+
+    @jax.jit
+    def run(state, blobs, bvalid, dts, Ps, K, dist, to_world_matrix):
+        v = functools.partial(vision, Ps=Ps, K=K, dist=dist,
+                              to_world_matrix=to_world_matrix)
+        pts_w, pvalid, perr, loc = jax.vmap(v)(blobs, bvalid)
+
+        def track_step(st, inp):
+            l_pos, l_head, l_idx, l_valid, dt = inp
+            return _k.update(st, l_pos, l_head, l_idx, l_valid, dt,
+                             report=cfg.kalman_report)
+
+        state2, tracked = jax.lax.scan(
+            track_step, state,
+            (loc.pos, loc.heading, loc.index, loc.valid, dts))
+        return state2, SequenceResult(pts_w, pvalid, perr, loc.pos,
+                                      loc.valid, tracked)
+
+    return run
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                   sparse: bool, chunk: int, use_pallas: bool,
