@@ -119,6 +119,28 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int,
     return blobs.reshape(T, C, max_blobs, 2), valid.reshape(T, C, max_blobs)
 
 
+def _blob_tail(blobs, bvalid, Ps, K, dist, to_world_matrix,
+               rig: RigConfig, cfg: EngineConfig):
+    """Shared from-blobs vision tail: undistort -> match -> world ->
+    rigid fit.  Used by BOTH the one-shot compiled run and the streamed
+    block step, so the two paths cannot silently diverge
+    (test_streamed_matches_oneshot relies on bit-identical semantics)."""
+    blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
+    blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
+    m = correspond.match_points(blobs_u, bvalid, Ps,
+                                gate_px=cfg.epipolar_gate_px,
+                                max_candidates=cfg.max_candidates_per_cam)
+    pts_w = world.to_world(m["object_points"], to_world_matrix)
+    pts_w = jnp.where(m["valid"][:, None], pts_w, 0.0)
+    loc = rigid.locate_objects(pts_w, m["errors"], m["valid"],
+                               dist1=rig.marker_dist_short,
+                               dist2=rig.marker_dist_long,
+                               tol=rig.marker_dist_tol,
+                               side_min=rig.marker_side_min,
+                               ax_h1=0, ax_h2=2)
+    return pts_w, m["valid"], m["errors"], loc
+
+
 def stream_recording(frames_u8_seq, Ps, K, dist, to_world_matrix,
                      rig: RigConfig, cfg: EngineConfig, dts=None,
                      block: int = 64, state=None, body_sets=None,
@@ -192,26 +214,11 @@ def _compiled_block(rig: RigConfig, cfg: EngineConfig):
     tail over the block, tracker scan with carried state."""
     from low_cost_mocap_tpu.ops import kalman as _k
 
-    def vision(blobs, bvalid, Ps, K, dist, to_world_matrix):
-        blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
-        blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
-        m = correspond.match_points(blobs_u, bvalid, Ps,
-                                    gate_px=cfg.epipolar_gate_px,
-                                    max_candidates=cfg.max_candidates_per_cam)
-        pts_w = world.to_world(m["object_points"], to_world_matrix)
-        pts_w = jnp.where(m["valid"][:, None], pts_w, 0.0)
-        loc = rigid.locate_objects(pts_w, m["errors"], m["valid"],
-                                   dist1=rig.marker_dist_short,
-                                   dist2=rig.marker_dist_long,
-                                   tol=rig.marker_dist_tol,
-                                   side_min=rig.marker_side_min,
-                                   ax_h1=0, ax_h2=2)
-        return pts_w, m["valid"], m["errors"], loc
-
     @jax.jit
     def run(state, blobs, bvalid, dts, Ps, K, dist, to_world_matrix):
-        v = functools.partial(vision, Ps=Ps, K=K, dist=dist,
-                              to_world_matrix=to_world_matrix)
+        v = functools.partial(_blob_tail, Ps=Ps, K=K, dist=dist,
+                              to_world_matrix=to_world_matrix,
+                              rig=rig, cfg=cfg)
         pts_w, pvalid, perr, loc = jax.vmap(v)(blobs, bvalid)
 
         def track_step(st, inp):
@@ -259,25 +266,14 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
             else:
                 blobs, bvalid, _ = detect.find_blobs_multi(
                     f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
-        blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
-        blobs_u = jnp.where(bvalid[..., None], blobs_u, 0.0)
-        m = correspond.match_points(blobs_u, bvalid, Ps,
-                                    gate_px=cfg.epipolar_gate_px,
-                                    max_candidates=cfg.max_candidates_per_cam)
-        pts_w = world.to_world(m["object_points"], to_world_matrix)
-        pts_w = jnp.where(m["valid"][:, None], pts_w, 0.0)
-        loc = rigid.locate_objects(pts_w, m["errors"], m["valid"],
-                                   dist1=rig.marker_dist_short,
-                                   dist2=rig.marker_dist_long,
-                                   tol=rig.marker_dist_tol,
-                                   side_min=rig.marker_side_min,
-                                   ax_h1=0, ax_h2=2)
+        pts_w, pvalid, perr, loc = _blob_tail(
+            blobs, bvalid, Ps, K, dist, to_world_matrix, rig, cfg)
         if body_sets:
             import jax as _jax
 
             from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
 
-            live = m["valid"]
+            live = pvalid
             parts = []
             for tmpl, max_inst in body_sets:
                 b, live = locate_bodies(pts_w, live, tmpl,
@@ -287,7 +283,7 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
             bodies = _jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
         else:
             bodies = None
-        return pts_w, m["valid"], m["errors"], loc, bodies
+        return pts_w, pvalid, perr, loc, bodies
 
     @jax.jit
     def run(frames_seq, dts, Ps, K, dist, to_world_matrix):

@@ -96,8 +96,15 @@ def update(state: BodyTrackState, fit_t, fit_R, fit_rms, fit_valid, dt, *,
         # exhaustive matcher is exact and one einsum at these sizes
         from low_cost_mocap_tpu.ops.assignment import assign
 
-        BIG = jnp.asarray(1e9, d.dtype)
         S = max(I, F)
+        # Unmatchable-pair cost: must dominate any achievable real total
+        # (S * gate_m) so permutations with fewer unmatched pairs always
+        # win, but must stay SMALL — the permutation totals are float32
+        # sums, and a huge sentinel (e.g. 1e9) swamps the real distances
+        # entirely (ulp(1e9) = 64), making every partial-visibility frame
+        # tie and resolve by table order instead of distance.  64 keeps
+        # sub-0.1 mm resolution (ulp(S * 64) ~ 6e-5) at default gates.
+        BIG = jnp.asarray(max(64.0, 8.0 * S * gate_m), d.dtype)
         cost = jnp.full((S, S), BIG, d.dtype)
         d_gated = jnp.where(jnp.isfinite(d) & state.active[:, None]
                             & (d < gate_m), d, BIG)

@@ -273,11 +273,16 @@ def smooth_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
                     process_noise: float = 1e-2, **kw):
     """Forward filter + RTS backward pass over a recorded sequence.
 
-    Returns (TrackedObjects with (T, O, ...) smoothed pos/vel —
-    valid/heading passed through from the causal filter — ,
+    Returns (TrackedObjects with (T, O, ...) smoothed pos/vel,
     xs_smooth (T, O, 9)).  The forward pass runs ``advance_on_miss=True``
     + ``report="post"`` (each frame = one predict+commit, the smoother's
     precondition); all inside jit-compatible scans.
+
+    ``valid`` in the result marks frames where the track is INITIALIZED
+    (first detection seen) — NOT per-frame detection: the whole point of
+    the smoother is that occlusion-gap frames between detections carry
+    interpolated (not zeroed) states.  The causal per-frame detection
+    flags are the ``tracked.valid`` of the plain filtering path.
     """
     def step(s, inputs):
         cp, ch, ci, cv, dt = inputs
@@ -285,16 +290,16 @@ def smooth_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
                                  process_noise=process_noise,
                                  report="post", advance_on_miss=True,
                                  return_cov=True, **kw)
-        return s2, (out, x, P)
+        return s2, (out, x, P, s2.initialized)
 
-    _, (tracked, xs, Ps) = jax.lax.scan(
+    _, (tracked, xs, Ps, inited) = jax.lax.scan(
         step, state,
         (cand_pos_seq, cand_heading_seq, cand_index_seq, cand_valid_seq,
          dts))
     xs_s, _ = rts_smooth(xs, Ps, dts, process_noise=process_noise)
     smoothed = TrackedObjects(
-        pos=jnp.where(tracked.valid[..., None], xs_s[..., :3], 0.0),
-        vel=jnp.where(tracked.valid[..., None], xs_s[..., 3:6], 0.0),
+        pos=jnp.where(inited[..., None], xs_s[..., :3], 0.0),
+        vel=jnp.where(inited[..., None], xs_s[..., 3:6], 0.0),
         heading=tracked.heading,
-        valid=tracked.valid)
+        valid=inited)
     return smoothed, xs_s

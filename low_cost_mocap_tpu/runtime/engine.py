@@ -67,6 +67,7 @@ class Engine:
         self.cfg = cfg
         self.source = source
         self.link = link
+        explicit_no_fast = fast_path is False   # caller asked for dense
         if fast_path is None:
             fast_path = jax.default_backend() != "cpu"
         self._fast = bool(fast_path) and not preprocess_frames
@@ -87,6 +88,10 @@ class Engine:
                 raise ValueError(
                     "mesh mode shards on-device detection per camera "
                     "shard; host_detect does not apply")
+            if explicit_no_fast:
+                raise ValueError(
+                    "mesh mode requires the packed fast path (per-shard "
+                    "1-bit ingest); fast_path=False is not available")
             self._fast = True  # packed 1-bit shard ingest
             host_detect = False
         if host_detect is None:
@@ -495,7 +500,10 @@ class Engine:
             self._recording_cap = int(data.get("maxFrames", 600))
             self._recording = []
             return
-        frames, self._recording = self._recording, None
+        # swap under the frame lock: the capture thread appends under it,
+        # so no append can land while np.stack iterates the list below
+        with self._frame_lock:
+            frames, self._recording = self._recording, None
         if not frames:
             self.emit("recording", {"error": "no frames recorded"})
             return
@@ -681,10 +689,12 @@ class Engine:
         """One frame through the compiled step + reference-shaped emits."""
         with self._frame_lock:
             self._last_frames = frames
-
-        rec = self._recording
-        if rec is not None and len(rec) < self._recording_cap:
-            rec.append(np.asarray(frames, np.uint8))
+            # append under the lock (handle_record_frames swaps + stacks
+            # from the server thread) and always COPY: a source may reuse
+            # its read buffer, which would alias every recorded frame
+            rec = self._recording
+            if rec is not None and len(rec) < self._recording_cap:
+                rec.append(np.array(frames, np.uint8))
 
         if self.health is not None:
             # frozen-transport detection on the RAW stream (recording above

@@ -105,7 +105,12 @@ class CameraHealthMonitor:
         this timescale).
         """
         counts = np.asarray(blob_counts)
-        self._no_blobs = np.where(counts > 0, 0, self._no_blobs + 1)
+        # a FROZEN camera's blobs are masked by the engine, so its zero
+        # counts say nothing — keep its dark counter at 0 or the camera
+        # would be flagged DARK the moment it recovers from FROZEN
+        frozen = np.asarray([s == FROZEN for s in self.status])
+        self._no_blobs = np.where((counts > 0) | frozen, 0,
+                                  self._no_blobs + 1)
         seeing = int((counts > 0).sum())
         transitions: list[tuple[int, str]] = []
         for c in range(self.num_cameras):

@@ -103,3 +103,35 @@ def test_two_bodies_keep_identities():
     # slot 0 stayed on body 1, slot 1 on body 2
     assert np.abs(np.asarray(out.pos[0]) - p1(7)).max() < 0.02
     assert np.abs(np.asarray(out.pos[1]) - p2(7)).max() < 0.02
+
+
+def test_partial_visibility_assignment_precision():
+    """Regression: with one fit occluded, the exhaustive matcher's padded
+    cost entries must not swamp float32 precision — the NEAR track claims
+    the one visible fit, not the first permutation in table order (a
+    1e9 sentinel made all totals tie at ulp(1e9)=64)."""
+    st = bt.init_state(2)
+    I3 = np.eye(3, dtype=np.float32)
+    # activate two tracks at distinct positions
+    for _ in range(3):
+        st, _ = bt.update(
+            st,
+            jnp.asarray([[0.0, 0.0, 0.0], [0.12, 0.0, 0.0]], jnp.float32),
+            jnp.asarray(np.stack([I3, I3])),
+            jnp.asarray([1e-3, 1e-3], jnp.float32),
+            jnp.asarray([True, True]),
+            jnp.asarray(1 / 60, jnp.float32))
+    assert bool(np.asarray(st.active).all())
+    # one fit visible, 5 mm from track 0 and 115 mm from track 1 — BOTH
+    # inside the 0.15 m gate; the second fit is occluded (invalid)
+    st2, out = bt.update(
+        st,
+        jnp.asarray([[0.005, 0.0, 0.0], [9.9, 9.9, 9.9]], jnp.float32),
+        jnp.asarray(np.stack([I3, I3])),
+        jnp.asarray([1e-3, 1e-3], jnp.float32),
+        jnp.asarray([True, False]),
+        jnp.asarray(1 / 60, jnp.float32))
+    pos = np.asarray(out.pos)
+    # track 0 moved toward the fit; track 1 coasted at its position
+    assert np.linalg.norm(pos[0] - [0.005, 0, 0]) < 0.01, pos
+    assert np.linalg.norm(pos[1] - [0.12, 0, 0]) < 0.01, pos

@@ -176,3 +176,27 @@ def test_masking_copies_never_mutates_source_buffer():
         # a RecordedSource returns views into its stored array; the engine
         # must mask a copy, not the caller's buffer
         np.testing.assert_array_equal(frames, keep)
+
+
+def test_frozen_recovery_does_not_flag_dark():
+    """Regression: the engine masks a FROZEN camera's blobs, so its zero
+    blob counts must not accumulate toward DARK while frozen."""
+    rng = np.random.default_rng(7)
+    mon = CameraHealthMonitor(4, freeze_frames=3, dark_frames=5)
+    frozen_frame = _noise_frames(rng)[1]
+    for _ in range(6):
+        frames = _noise_frames(rng)
+        frames[1] = frozen_frame
+        mon.update(frames)
+    assert mon.status[1] == FROZEN
+    # 20 masked frames: counts for cam 1 are 0 (engine masking)
+    for _ in range(20):
+        mon.update_blobs(np.array([3, 0, 2, 1]))
+    # recover: frames move again, blobs return a few frames later
+    events = mon.update(_noise_frames(rng))
+    assert (1, OK) in events
+    for _ in range(3):
+        events = mon.update_blobs(np.array([3, 0, 2, 1]))
+        assert (1, DARK) not in events       # lagging counts: no flap
+    mon.update_blobs(np.array([3, 2, 2, 1]))
+    assert mon.status[1] == OK

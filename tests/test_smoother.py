@@ -124,6 +124,26 @@ def test_smooth_sequence_wrapper():
     assert e < 0.003, e                      # < 3 mm mean, noise 4 mm
 
 
+def test_smooth_sequence_exposes_interpolated_gaps():
+    """Regression: the wrapper must NOT zero the occlusion-gap frames —
+    interpolating them is the smoother's purpose.  valid = initialized,
+    not per-frame detection."""
+    pos, meas, dt = _sim(T=120, seed=5)
+    T = len(meas)
+    valid = np.ones((T, 1), bool)
+    valid[40:52] = False                         # occlusion gap
+    smoothed, _ = kalman.smooth_sequence(
+        kalman.init_state(1), jnp.asarray(meas[:, None, :]),
+        jnp.zeros((T, 1)), jnp.zeros((T, 1), jnp.int32),
+        jnp.asarray(valid), jnp.full((T,), dt))
+    sm = np.asarray(smoothed.pos)[:, 0]
+    sv = np.asarray(smoothed.valid)[:, 0]
+    assert sv[40:52].all()                       # gap frames ARE valid
+    gap_err = np.linalg.norm(sm[40:52] - pos[40:52], axis=1)
+    assert (gap_err > 0).all()                   # not zeroed
+    assert gap_err.mean() < 0.01                 # interpolated, < 1 cm
+
+
 def test_process_recording_smooth_flag():
     from low_cost_mocap_tpu.config import EngineConfig
     from low_cost_mocap_tpu.models import offline
