@@ -268,6 +268,53 @@ def rts_smooth(xs, Ps, dts, *, process_noise: float = 1e-2):
     return xs_s, Ps_s
 
 
+def rts_smooth_assoc(xs, Ps, dts, *, process_noise: float = 1e-2):
+    """Temporally-PARALLEL RTS smoother via ``lax.associative_scan``.
+
+    Same inputs/outputs as ``rts_smooth``.  The backward recursion is the
+    repeated application of per-step affine maps
+
+        x_s[k] = E_k x_s[k+1] + g_k   (+ noise with covariance L_k)
+
+    with E_k = C_k (the smoother gain), g_k = x_f[k] - C_k F_k x_f[k],
+    L_k = P_f[k] - C_k P_pred[k+1] C_k'.  Affine-map composition is
+    ASSOCIATIVE, so the suffix products a_k o a_{k+1} o ... o a_{T-2}
+    evaluate in O(log T) depth instead of a length-T sequential scan
+    (Sarkka & Garcia-Fernandez, "Temporal Parallelization of Bayesian
+    Smoothers", IEEE TAC 2021) — and under a time-sharded input the
+    log-depth combine tree partitions across the mesh's ``time`` axis,
+    which a sequential scan cannot (SURVEY.md §5's temporal-sharding
+    axis).  Matches ``rts_smooth`` to float precision (tested).
+    """
+    dtype = xs.dtype
+    Q = jnp.eye(9, dtype=dtype) * process_noise
+    F = jax.vmap(lambda dt: _transition(dt, dtype))(dts[1:])  # (T-1, 9, 9)
+    x_pred = jnp.einsum("tij,toj->toi", F, xs[:-1])
+    P_pred = jnp.einsum("tij,tojk,tlk->toil", F, Ps[:-1], F) + Q
+    C = jnp.einsum("toij,tkj,tokl->toil", Ps[:-1], F,
+                   jnp.linalg.inv(P_pred))
+    E = C                                                    # (T-1, O, 9, 9)
+    g = xs[:-1] - jnp.einsum("toij,toj->toi", C, x_pred)
+    L = Ps[:-1] - jnp.einsum("toij,tojk,tolk->toil", C, P_pred, C)
+
+    def combine(a, b):
+        # jax flips the sequence for reverse=True, so the LEFT operand is
+        # the LATER-in-time combined suffix; composition applies the
+        # earlier element (b) outermost: (b o a)(x) = b(a(x))
+        Ea, ga, La = a
+        Eb, gb, Lb = b
+        return (jnp.einsum("toij,tojk->toik", Eb, Ea),
+                jnp.einsum("toij,toj->toi", Eb, ga) + gb,
+                jnp.einsum("toij,tojk,tolk->toil", Eb, La, Eb) + Lb)
+
+    Es, gs, Ls = jax.lax.associative_scan(combine, (E, g, L), reverse=True)
+    xs_s = jnp.einsum("toij,oj->toi", Es, xs[-1]) + gs
+    Ps_s = jnp.einsum("toij,ojk,tolk->toil", Es, Ps[-1], Es) + Ls
+    xs_s = jnp.concatenate([xs_s, xs[-1:]], axis=0)
+    Ps_s = jnp.concatenate([Ps_s, Ps[-1:]], axis=0)
+    return xs_s, Ps_s
+
+
 def smooth_sequence(state: KalmanState, cand_pos_seq, cand_heading_seq,
                     cand_index_seq, cand_valid_seq, dts, *,
                     process_noise: float = 1e-2, **kw):

@@ -124,6 +124,47 @@ def test_smooth_sequence_wrapper():
     assert e < 0.003, e                      # < 3 mm mean, noise 4 mm
 
 
+def test_rts_assoc_matches_sequential():
+    """The associative-scan (temporally parallel) RTS must equal the
+    sequential backward pass to float precision."""
+    _, meas, dt = _sim(T=48, seed=6)
+    xs, Ps, _ = _forward(meas, dt)
+    dts = np.full(len(meas), dt, np.float32)
+    a_x, a_P = kalman.rts_smooth(jnp.asarray(xs), jnp.asarray(Ps),
+                                 jnp.asarray(dts))
+    b_x, b_P = kalman.rts_smooth_assoc(jnp.asarray(xs), jnp.asarray(Ps),
+                                       jnp.asarray(dts))
+    np.testing.assert_allclose(np.asarray(a_x), np.asarray(b_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_P), np.asarray(b_P), atol=1e-5)
+
+
+def test_rts_assoc_time_sharded():
+    """The parallel smoother runs with its (T, ...) inputs sharded over a
+    'time' mesh axis — the log-depth combine tree partitions across
+    devices (a sequential scan cannot)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+    _, meas, dt = _sim(T=64, seed=7)
+    xs, Ps, _ = _forward(meas, dt)
+    dts = np.full(len(meas), dt, np.float32)
+    ref_x, _ = kalman.rts_smooth_assoc(jnp.asarray(xs), jnp.asarray(Ps),
+                                       jnp.asarray(dts))
+    mesh = Mesh(np.array(devs[:8]), ("time",))
+    sh = lambda spec: NamedSharding(mesh, spec)
+    xs_d = jax.device_put(jnp.asarray(xs), sh(P("time")))
+    Ps_d = jax.device_put(jnp.asarray(Ps), sh(P("time")))
+    dts_d = jax.device_put(jnp.asarray(dts), sh(P("time")))
+    fn = jax.jit(lambda x, p, d: kalman.rts_smooth_assoc(x, p, d)[0])
+    got = fn(xs_d, Ps_d, dts_d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_x),
+                               atol=1e-5)
+
+
 def test_smooth_sequence_exposes_interpolated_gaps():
     """Regression: the wrapper must NOT zero the occlusion-gap frames —
     interpolating them is the smoother's purpose.  valid = initialized,
