@@ -293,6 +293,37 @@ def frame_step(state, frames, dt, Ps, K, dist, to_world_matrix, Fs=None, *,
         kalman_report=kalman_report)
 
 
+def scan_track_from_blobs(state, blobs_b, blob_valid_b, dts, Ps, K, dist,
+                          to_world_matrix, Fs, **kw):
+    """Batched-dispatch serving: B consecutive frames in ONE XLA program.
+
+    A per-frame dispatch through a remote/tunneled device link costs a
+    ~250 us RPC floor while the device tail of one frame is ~48 us — the
+    chip idles >80% in per-frame mode (measured, benchmarks/SCALING.md).
+    This step runs a ``lax.scan`` of B ``track_from_blobs`` updates with
+    the tracker state carried across frames, so ONE dispatch (and one
+    packed (B, L) readback) amortises the RPC over B frames and
+    throughput approaches the device tail.  The price is B frames of
+    output latency — keep per-frame mode for closed-loop control and use
+    this for high-rate serving/ingest (``EngineConfig.dispatch_batch``).
+
+    blobs_b: (B, C, K, 2); blob_valid_b: (B, C, K); dts: (B,).
+    Returns (state_after_B_frames, packed (B, L)) with rows decodable by
+    ``unpack_outputs`` — bit-identical to B per-frame steps (same update
+    chain, same packing; tested).
+
+    Replaces the reference's only serving mode, the per-frame Python loop
+    at ``computer_code/api/index.py:39-59``.
+    """
+    def step(st, inp):
+        b, v, dt = inp
+        st2, out = track_from_blobs(st, b, v, dt, Ps, K, dist,
+                                    to_world_matrix, Fs, **kw)
+        return st2, pack_outputs(out)
+
+    return jax.lax.scan(step, state, (blobs_b, blob_valid_b, dts))
+
+
 def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
                              to_world_matrices, Fs, **kw):
     """Multi-rig serving: R independent capture volumes in ONE dispatch.

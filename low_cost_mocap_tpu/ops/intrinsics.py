@@ -48,7 +48,8 @@ class IntrinsicsResult(NamedTuple):
     dist: jnp.ndarray       # (5,) [k1, k2, p1, p2, k3]
     Rs: jnp.ndarray         # (V, 3, 3) board->camera per view
     ts: jnp.ndarray         # (V, 3)
-    rms_px: jnp.ndarray     # scalar reprojection RMSE over valid points
+    rms_px: jnp.ndarray     # per-point reprojection RMS over valid points,
+    #                         sqrt(mean ||e||^2) — cv2.calibrateCamera's convention
     iters: jnp.ndarray      # accepted LM steps
 
 
@@ -108,10 +109,17 @@ def _vij(H, i, j):
     ])
 
 
-def intrinsics_from_homographies(Hs):
-    """Closed-form K (zero final skew) from (V, 3, 3) homographies, V >= 3."""
+def intrinsics_from_homographies(Hs, view_ok=None):
+    """Closed-form K (zero final skew) from (V, 3, 3) homographies, V >= 3.
+
+    ``view_ok``: optional (V,) weights; a view with too few valid points
+    yields a garbage homography, and zero-weighting its constraint rows
+    keeps it out of the conic estimate (shapes stay static)."""
     rows01 = jax.vmap(lambda H: _vij(H, 0, 1))(Hs)                 # (V, 6)
     rows00_11 = jax.vmap(lambda H: _vij(H, 0, 0) - _vij(H, 1, 1))(Hs)
+    if view_ok is not None:
+        rows01 = rows01 * view_ok[:, None]
+        rows00_11 = rows00_11 * view_ok[:, None]
     A = jnp.concatenate([rows01, rows00_11], axis=0)               # (2V, 6)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
     b = Vt[-1]
@@ -174,6 +182,9 @@ def refine(board_xy, img_pts, w, K0, Rs0, ts0, *, max_iters: int = 48):
     Returns (K, dist, Rs, ts, rms_px, accepted_iters).
     """
     V = img_pts.shape[0]
+    # masked slots may carry NaN sentinels; 0 * NaN = NaN would otherwise
+    # poison the weighted residuals (and every LM step with them)
+    img_pts = jnp.where(w[..., None] > 0, img_pts, 0.0)
     board3 = jnp.concatenate(
         [board_xy, jnp.zeros_like(board_xy[:, :1])], axis=-1)
     rv0 = jax.vmap(rot_ops.matrix_to_rotvec)(Rs0)
@@ -195,7 +206,14 @@ def refine(board_xy, img_pts, w, K0, Rs0, ts0, *, max_iters: int = 48):
         H = J.T @ J
         g = J.T @ r
         I = jnp.eye(nparam, dtype=p.dtype)
-        delta = jnp.linalg.solve(H + lam * (I * jnp.diag(H) + 1e-9 * I), -g)
+        # Marquardt damping with a unit floor: a fully-masked view zeroes
+        # its 6-param block of H, and damping proportional to diag(H) alone
+        # would leave that block ~singular (solve -> NaN, every step
+        # rejected).  Flooring the damped diagonal at lam keeps the system
+        # well-posed; the masked block's gradient is zero so its params
+        # simply stay put.
+        damp = jnp.maximum(jnp.diag(H), 1.0)
+        delta = jnp.linalg.solve(H + lam * (I * damp), -g)
         p1 = p + delta
         c1 = cost_of(res_fn(p1))
         accept = c1 < cost
@@ -214,7 +232,9 @@ def refine(board_xy, img_pts, w, K0, Rs0, ts0, *, max_iters: int = 48):
         None, length=max_iters)
     K, dist, Rs, ts = _unpack(p, V)
     n_valid = jnp.maximum(jnp.sum(w), 1.0)
-    rms = jnp.sqrt(2.0 * cost / (2.0 * n_valid))
+    # OpenCV calibrateCamera convention: per-POINT RMS,
+    # sqrt(sum ||e_i||^2 / n_points) — directly comparable to its return
+    rms = jnp.sqrt(2.0 * cost / n_valid)
     return K, dist, Rs, ts, rms, jnp.sum(accepts)
 
 
@@ -233,10 +253,25 @@ def calibrate_intrinsics(board_xy, img_pts, mask=None, *,
         raise ValueError(f"need >= 3 views for intrinsics, got {V}")
     w = (jnp.ones((V, N), jnp.float32) if mask is None
          else jnp.asarray(mask, jnp.float32))
+    # masked slots may carry NaN sentinels (the natural encoding for
+    # missing detections) — zero them before they touch any weighted sum
+    img_pts = jnp.where(w[..., None] > 0, img_pts, 0.0)
     Hs = jax.vmap(lambda im, ww: homography_dlt(board_xy, im, ww))(
         img_pts, w)
-    K0 = intrinsics_from_homographies(Hs)
+    # a view needs >= 4 points for a homography; under that, its H is
+    # noise — keep it out of the closed-form conic system (the LM stage
+    # already ignores it through the weights)
+    view_ok = (jnp.sum(w, axis=1) >= 4).astype(jnp.float32)
+    K0 = intrinsics_from_homographies(Hs, view_ok)
     Rs0, ts0 = jax.vmap(lambda H: extrinsics_from_homography(H, K0))(Hs)
+    # degenerate views can decompose to non-finite poses; even with zero
+    # residual weight, NaN * 0 = NaN would sink the whole LM cost.
+    # Substitute a benign placeholder pose (its residuals are weighted out).
+    good = (view_ok > 0) & jnp.isfinite(Rs0).all(axis=(-2, -1)) \
+        & jnp.isfinite(ts0).all(axis=-1)
+    Rs0 = jnp.where(good[:, None, None], Rs0, jnp.eye(3, dtype=Rs0.dtype))
+    ts0 = jnp.where(good[:, None], ts0,
+                    jnp.asarray([0.0, 0.0, 1.0], ts0.dtype))
     K, dist, Rs, ts, rms, iters = refine(
         board_xy, img_pts, w, K0, Rs0, ts0, max_iters=max_iters)
     return IntrinsicsResult(K, dist, Rs, ts, rms, iters)

@@ -52,7 +52,13 @@ def rotvec_to_matrix(rvec):
     ``Rotation.from_rotvec(...).as_matrix()`` (used at
     ``computer_code/api/helpers.py:258``).
     """
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    # NOT jnp.linalg.norm: d(sqrt(x))/dx at x=0 is inf, so the Jacobian of
+    # an exactly-zero rotvec (identity pose — e.g. a solver's placeholder
+    # view) would be NaN.  The max-clamped sqrt has zero gradient through
+    # the clamp, and _sinc/_cosc are locally constant at 0, so dR = hat(dv)
+    # comes out exact.
+    sq = jnp.sum(rvec * rvec, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    theta = jnp.sqrt(jnp.maximum(sq, _EPS * _EPS))
     V = hat(rvec)
     V2 = V @ V
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), V.shape)

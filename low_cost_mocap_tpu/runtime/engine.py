@@ -113,6 +113,11 @@ class Engine:
         self.drone_armed = [False] * rig.num_objects
         self.captured_points: list[list[list[float | None]]] = []
         self.artifacts_dir = artifacts_dir
+        if artifacts_dir:
+            # persisted per-camera intrinsics (calibrate-intrinsics event)
+            # replace the rig defaults BEFORE any K-derived state is built
+            rig = self._load_intrinsics_artifact(rig)
+            self.rig = rig
 
         self._K = jnp.asarray(rig.K_stack())
         self._dist = jnp.asarray(rig.dist_stack())
@@ -149,6 +154,7 @@ class Engine:
         self.frame_count = 0
         self._learning_frames: list | None = None  # learn-body-template
         self._refine_obs: list | None = None        # refine-camera-pose
+        self._intrinsics_capture: dict | None = None  # calibrate-intrinsics
         self._recording: list | None = None         # record-frames
         self._recording_cap = 0
         # per-camera failure detection + elastic recovery (runtime/health.py)
@@ -485,6 +491,173 @@ class Engine:
             payload["applied"] = True
         self.emit("body-template", payload)
 
+    def handle_calibrate_intrinsics(self, data):
+        """In-framework intrinsic calibration from a handheld dot-grid
+        target (``ops/intrinsics.py``, Zhang's method).  Closes the
+        reference's day-one gap: it LOADS intrinsics it cannot produce
+        (``computer_code/api/helpers.py:19-22`` reads a JSON made by an
+        external tool).
+
+        start: ``{"startOrStop": "start", "cameraIndex": c, "rows": r,
+        "cols": k, "spacing": m}`` — while the loop runs, every frame
+        where camera ``c`` sees exactly r*k blobs that order into a
+        consistent grid (``order_grid``) and the board has moved since the
+        last keeper is captured as a view (progress via
+        ``intrinsics-views`` events).  Per-view grid orientation may
+        differ (the unmarked grid has a 4-fold labelling symmetry) —
+        harmless: the symmetry composes into the per-view extrinsics, K
+        and distortion are unaffected.
+
+        stop: calibrate over the captured views, emit
+        ``camera-intrinsics`` ``{K, dist, rms_px, views}``, apply to the
+        rig (skippable with ``"apply": false``) and persist
+        (``utils/artifacts.save_intrinsics``).  No recompilation: K/dist
+        are runtime arguments of the compiled step, not static shapes.
+        """
+        if data["startOrStop"] == "start":
+            rows = int(data.get("rows", 4))
+            cols = int(data.get("cols", 5))
+            from low_cost_mocap_tpu.ops.intrinsics import make_grid
+
+            self._intrinsics_capture = {
+                "camera": int(data.get("cameraIndex", 0)),
+                "rows": rows, "cols": cols,
+                "spacing": float(data.get("spacing", 0.03)),
+                "board": make_grid(rows, cols,
+                                   float(data.get("spacing", 0.03))),
+                "min_sep_px": float(data.get("minSeparationPx", 8.0)),
+                "max_views": int(data.get("maxViews", 40)),
+                "views": [],
+            }
+            return
+        cap, self._intrinsics_capture = self._intrinsics_capture, None
+        if cap is None or len(cap["views"]) < 3:
+            n = 0 if cap is None else len(cap["views"])
+            self.emit("camera-intrinsics", {
+                "error": f"only {n} usable views captured (need >= 3); "
+                         "move the board through varied tilts"})
+            return
+        from low_cost_mocap_tpu.ops.intrinsics import calibrate_intrinsics
+
+        res = calibrate_intrinsics(cap["board"], np.stack(cap["views"]))
+        K = np.asarray(res.K, np.float64)
+        dist = np.asarray(res.dist, np.float64)
+        if not (np.isfinite(K).all() and np.isfinite(dist).all()):
+            self.emit("camera-intrinsics",
+                      {"error": "calibration diverged; recapture"})
+            return
+        payload = {
+            "cameraIndex": cap["camera"],
+            "K": K.tolist(),
+            "dist": dist.tolist(),
+            "rms_px": float(res.rms_px),
+            "views": len(cap["views"]),
+            "error": None,
+        }
+        if data.get("apply", True):
+            self._apply_intrinsics(cap["camera"], K, dist)
+            payload["applied"] = True
+        self.emit("camera-intrinsics", payload)
+
+    def _intrinsics_step(self, frames: np.ndarray) -> None:
+        """Per-frame intrinsics-capture hook: host-native blob detection on
+        the target camera only (its budget, rows*cols, is independent of
+        the compiled step's ``max_blobs``), grid ordering, movement gate."""
+        cap = self._intrinsics_capture
+        if cap is None or len(cap["views"]) >= cap["max_views"]:
+            return
+        c, rows, cols = cap["camera"], cap["rows"], cap["cols"]
+        n = rows * cols
+        try:
+            from low_cost_mocap_tpu.control.bindings import detect_blobs
+            from low_cost_mocap_tpu.ops.detect import pack_frames
+
+            f = np.ascontiguousarray(frames[c:c + 1])
+            bits = pack_frames(f, self.cfg.detect_threshold)
+            blobs, valid, _ = detect_blobs(
+                bits, f.shape[1], f.shape[2], n + 8,
+                gray=f if self.cfg.weighted_centroids else None)
+        except Exception as e:
+            self._intrinsics_capture = None
+            self.emit("camera-intrinsics",
+                      {"error": f"native detector unavailable: {e}"})
+            return
+        pts = np.asarray(blobs)[0][np.asarray(valid)[0].astype(bool)]
+        if len(pts) != n:
+            return
+        from low_cost_mocap_tpu.ops.intrinsics import order_grid
+
+        order, _ = order_grid(pts, rows, cols)
+        if order is None:
+            return
+        ordered = pts[order].astype(np.float32)
+        if cap["views"]:
+            sep = float(np.linalg.norm(
+                ordered - cap["views"][-1], axis=-1).mean())
+            if sep < cap["min_sep_px"]:
+                return                      # board hasn't moved enough
+        cap["views"].append(ordered)
+        self.emit("intrinsics-views",
+                  {"camera": c, "views": len(cap["views"])})
+
+    def _apply_intrinsics(self, camera_index: int, K: np.ndarray,
+                          dist: np.ndarray) -> None:
+        """Install calibrated intrinsics for one camera: swap the runtime
+        K/dist arrays (no recompile — they're traced args), re-derive
+        projection matrices + pairwise fundamentals, persist."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from low_cost_mocap_tpu.config import CameraIntrinsics
+
+        cams = list(self.rig.cameras)
+        cams[camera_index] = CameraIntrinsics(
+            intrinsic_matrix=tuple(tuple(float(x) for x in row)
+                                   for row in K),
+            distortion_coef=tuple(float(x) for x in dist),
+            rotation=cams[camera_index].rotation)
+        rig = dataclasses.replace(self.rig, cameras=tuple(cams))
+        with self._model_lock:
+            self.rig = rig
+            self._K = jnp.asarray(rig.K_stack())
+            self._dist = jnp.asarray(rig.dist_stack())
+            if self.camera_poses is not None:
+                from low_cost_mocap_tpu.ops import camera as cam_ops
+                from low_cost_mocap_tpu.ops.correspond import \
+                    _pairwise_fundamentals
+
+                Rs, ts = self.camera_poses
+                self._Ps = cam_ops.projection_matrix(
+                    self._K, jnp.asarray(Rs), jnp.asarray(ts))
+                self._F = _pairwise_fundamentals(self._Ps)
+        self._save_intrinsics_artifact()
+
+    def _save_intrinsics_artifact(self) -> None:
+        if not self.artifacts_dir:
+            return
+        import os
+
+        from low_cost_mocap_tpu.utils.artifacts import save_intrinsics
+
+        os.makedirs(self.artifacts_dir, exist_ok=True)
+        save_intrinsics(os.path.join(self.artifacts_dir, "intrinsics.json"),
+                        self.rig.cameras)
+
+    def _load_intrinsics_artifact(self, rig: RigConfig) -> RigConfig:
+        import dataclasses
+        import os
+
+        path = os.path.join(self.artifacts_dir, "intrinsics.json")
+        if not os.path.exists(path):
+            return rig
+        from low_cost_mocap_tpu.utils.artifacts import load_intrinsics
+
+        cams = load_intrinsics(path)
+        if len(cams) != rig.num_cameras:
+            return rig                      # stale artifact, rig changed
+        return dataclasses.replace(rig, cameras=cams)
+
     def handle_record_frames(self, data):
         """Record the raw camera stream to a replayable .npz artifact
         (``utils/recordings.py``; the reference has no recording facility
@@ -703,6 +876,11 @@ class Engine:
             for cam, status in self.health.update(frames):
                 self.emit("camera-health",
                           {"camera": int(cam), "status": status})
+
+        if self._intrinsics_capture is not None:
+            # dot-grid intrinsics capture: self-contained host-side path,
+            # independent of the capture/triangulate mode flags
+            self._intrinsics_step(frames)
 
         if not self.is_capturing_points:
             return None

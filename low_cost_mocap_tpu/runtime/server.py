@@ -94,7 +94,7 @@ class MocapServer:
         for ev in ("image-points", "object-points", "camera-pose",
                    "to-world-coords-matrix", "fps", "metrics",
                    "engine-error", "body-template", "profile", "recording",
-                   "camera-health"):
+                   "camera-health", "camera-intrinsics", "intrinsics-views"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring

@@ -73,3 +73,55 @@ def save_calibration(path: str, calib: Calibration) -> None:
 def load_calibration(path: str) -> Calibration:
     with open(path) as f:
         return Calibration.from_dict(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Intrinsics artifact
+# ---------------------------------------------------------------------------
+#
+# The reference ships intrinsics as a hand-made ``camera-params.json`` it
+# cannot produce (loaded at ``computer_code/api/helpers.py:19-22``; the
+# README points at an external calibration tool).  Here the in-framework
+# Zhang calibration (``ops/intrinsics.py``, ``calibrate-intrinsics`` event)
+# writes this artifact, and the engine reloads it on startup.
+
+
+def save_intrinsics(path: str, cameras) -> None:
+    """Persist per-camera intrinsics (a tuple of ``config.CameraIntrinsics``,
+    e.g. ``RigConfig.cameras``) as a versioned JSON artifact."""
+    blob = {
+        "format_version": FORMAT_VERSION,
+        "created_at": time.time(),
+        "cameras": [
+            {
+                "intrinsic_matrix": np.asarray(
+                    c.intrinsic_matrix, np.float64).tolist(),
+                "distortion_coef": np.asarray(
+                    c.distortion_coef, np.float64).tolist(),
+                "rotation": int(c.rotation),
+            }
+            for c in cameras
+        ],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(blob, f, indent=2)
+    os.replace(tmp, path)
+
+
+def load_intrinsics(path: str):
+    """Inverse of ``save_intrinsics``: tuple of ``CameraIntrinsics``."""
+    from low_cost_mocap_tpu.config import CameraIntrinsics
+
+    with open(path) as f:
+        blob = json.load(f)
+    if blob.get("format_version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported format {blob.get('format_version')}")
+    return tuple(
+        CameraIntrinsics(
+            intrinsic_matrix=tuple(tuple(r) for r in c["intrinsic_matrix"]),
+            distortion_coef=tuple(c["distortion_coef"]),
+            rotation=int(c.get("rotation", 0)),
+        )
+        for c in blob["cameras"]
+    )
