@@ -96,13 +96,69 @@ def main():
     for _ in range(5):
         state, elapsed = run_window(state, n_iters)
         best = min(best, elapsed)
-
     fps = n_iters / best
+
+    # ---- batched-dispatch serving mode (EngineConfig.dispatch_batch) ----
+    # ONE lax.scan program per B frames, tracker state carried on device
+    # (models/pipeline.scan_track_from_blobs): amortises the per-dispatch
+    # RPC floor so throughput approaches the ~48 us/frame device tail, at
+    # B frames of latency.  Host detection still runs per frame (honest
+    # per-frame ingest cost).
+    B = 32
+
+    def tail_scan(state, packed_b, dt, Ps, K, dist, M, Fs, **kw):
+        def step(st, p):
+            st2, out = track_from_blobs(st, p[..., :2], p[..., 2] > 0.5,
+                                        dt, Ps, K, dist, M, Fs, **kw)
+            return st2, pack_outputs(out)
+        return jax.lax.scan(step, state, packed_b)
+
+    scan_step = jax.jit(functools.partial(tail_scan, **tail_kw),
+                        donate_argnums=(0,))
+
+    # Host detection parallelised over cores (the native threshold+pack and
+    # CC-centroid calls release the GIL), and the NEXT batch's ingest
+    # overlaps the CURRENT batch's device program via async dispatch — the
+    # same overlap stream_recording uses (models/offline.py).
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(2)
+
+    def _ingest_n(n):
+        return [ingest() for _ in range(n)]
+
+    def ingest_b():
+        f1 = pool.submit(_ingest_n, B // 2)
+        f2 = pool.submit(_ingest_n, B - B // 2)
+        return np.stack(f1.result() + f2.result())
+
+    bstate, bout = scan_step(state, ingest_b(), dt, Ps, K, dist, M, Fs)
+    jax.block_until_ready(bout)
+
+    def run_window_b(st, n_disp):
+        nxt = ingest_b()
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            st, out = scan_step(st, nxt, dt, Ps, K, dist, M, Fs)
+            nxt = ingest_b()     # host detects batch N+1 while the device
+            #                      runs batch N (async dispatch)
+        jax.block_until_ready(out)
+        return st, time.perf_counter() - t0
+
+    n_disp, best_b = 32, float("inf")
+    for _ in range(5):
+        bstate, elapsed = run_window_b(bstate, n_disp)
+        best_b = min(best_b, elapsed)
+    fps_b = n_disp * B / best_b
+
     print(json.dumps({
         "metric": "mocap_frames_per_s_per_chip_4cam_320px",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 3),
+        "batched_value": round(fps_b, 2),
+        "batched_unit": "frames/s",
+        "dispatch_batch": B,
+        "batched_vs_baseline": round(fps_b / 150.0, 3),
     }))
 
 

@@ -181,6 +181,16 @@ class EngineConfig:
     health_freeze_frames: int = 15
     health_dark_frames: int = 90
 
+    # Batched-dispatch serving: process this many consecutive frames per
+    # device dispatch (one lax.scan program, tracker state carried — see
+    # models/pipeline.scan_track_from_blobs).  Amortises the per-dispatch
+    # RPC floor (~250 us on tunneled links; the device tail is ~48 us per
+    # frame) at the cost of dispatch_batch frames of output latency.
+    # 1 = per-frame (the default: right for closed-loop control); raise to
+    # 8-64 for high-rate serving/ingest where latency is secondary.
+    # Requires the host-detect ingest path.
+    dispatch_batch: int = 1
+
     # runtime
     target_fps: float = 150.0             # computer_code/api/index.py:40-41
     serial_baud: int = 1_000_000          # computer_code/api/index.py:21

@@ -103,6 +103,13 @@ class Engine:
                 get_lib()
             except Exception:
                 self._host_detect = False
+        self._batch = max(int(cfg.dispatch_batch), 1)
+        if self._batch > 1 and not self._host_detect:
+            raise ValueError(
+                "dispatch_batch > 1 requires the host-detect ingest path "
+                "(native detector + fast path, no mesh mode): the batched "
+                "program scans track_from_blobs over pre-detected blobs")
+        self._batch_buf: list = []  # (blobs, valid, dt) awaiting dispatch
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -237,8 +244,20 @@ class Engine:
 
             self._step_blobs = jax.jit(functools.partial(
                 _tail_packed, **_tail), donate_argnums=(0,))
+            # Batched-dispatch variant: B frames per program, state carried
+            # by a lax.scan (models/pipeline.scan_track_from_blobs) — the
+            # high-throughput serving mode (EngineConfig.dispatch_batch)
+            if self._batch > 1:
+                from low_cost_mocap_tpu.models.pipeline import \
+                    scan_track_from_blobs
+
+                self._step_scan = jax.jit(functools.partial(
+                    scan_track_from_blobs, **_tail), donate_argnums=(0,))
+            else:
+                self._step_scan = None
         else:
             self._step_blobs = None
+            self._step_scan = None
 
     # ------------------------------------------------------------ events
 
@@ -339,6 +358,7 @@ class Engine:
             with self._model_lock:
                 self._kalman_state = make_init_state(self.rig)
                 self._pending.clear()  # drop pre-reset in-flight readbacks
+                self._batch_buf = []   # pre-reset buffered frames
             self.is_capturing_points = True
             self.is_triangulating_points = True
         else:
@@ -488,6 +508,7 @@ class Engine:
                 self._build_steps()      # recompile with the template
                 self._kalman_state = make_init_state(self.rig)
                 self._pending.clear()    # old-layout packed outputs
+                self._batch_buf = []     # old-layout buffered frames
             payload["applied"] = True
         self.emit("body-template", payload)
 
@@ -926,6 +947,34 @@ class Engine:
         else:
             ok, payload = False, frames
         dt32 = np.float32(dt)
+        if blob_args is not None and self._batch > 1:
+            # batched-dispatch serving: buffer host-detected frames, ONE
+            # scan program per dispatch_batch frames (state carried on
+            # device), outputs emitted in order when the batch completes
+            with self._model_lock:
+                self._batch_buf.append((blob_args[0], blob_args[1], dt32))
+                if len(self._batch_buf) < self._batch:
+                    return None
+                bl = np.stack([b for b, _, _ in self._batch_buf])
+                vl = np.stack([v for _, v, _ in self._batch_buf])
+                dl = np.asarray([d for _, _, d in self._batch_buf],
+                                np.float32)
+                self._batch_buf = []
+                self._kalman_state, packed_rows = self._step_scan(
+                    self._kalman_state, bl, vl, dl,
+                    self._Ps, self._K, self._dist, self._M, self._F)
+                rows = np.asarray(packed_rows)    # ONE (B, L) readback
+                outs = [unpack_outputs(
+                    rows[i], self.rig.num_cameras, self.cfg.max_blobs,
+                    self.rig.num_objects, num_bodies=self._num_bodies,
+                    with_obs=True) for i in range(rows.shape[0])]
+                set_of_slot = self._body_set_of_slot
+            for o in outs:
+                self._emit_frame_outputs(o, set_of_slot)
+            with self._frame_lock:
+                self._last_out = outs[-1]
+            return outs[-1]
+
         with self._model_lock:
             if mesh_payload is not None:
                 self._kalman_state, packed = self._step_dist(
@@ -961,6 +1010,15 @@ class Engine:
             # a learn-body-template apply can rebuild it mid-emit otherwise
             set_of_slot = self._body_set_of_slot
 
+        self._emit_frame_outputs(out, set_of_slot)
+        with self._frame_lock:
+            self._last_out = out
+        return out
+
+    def _emit_frame_outputs(self, out, set_of_slot) -> None:
+        """Per-frame output fan-out: health counters, mode-gated reference
+        emits (image-points / object-points), armed pose+vel serial feed.
+        Shared by the per-frame and batched-dispatch paths."""
         if self.health is not None:
             counts = np.asarray(out.blob_valid).sum(axis=1)
             for cam, status in self.health.update_blobs(counts):
@@ -1063,17 +1121,17 @@ class Engine:
                     "R": quat_to_matrix_np(tb.quat[i]).tolist(),
                 } for i in np.where(tbv)[0]]
             self.emit("object-points", payload)
-        with self._frame_lock:
-            self._last_out = out
-        return out
 
     # ------------------------------------------------------------ frames
 
     def latest_frame_strip(self) -> np.ndarray | None:
         """(H, C*W) uint8 montage for the MJPEG display path
         (``computer_code/api/helpers.py:137-141``), with detected blobs
-        annotated (the reference draws contours + coordinates on the
-        stream, ``helpers.py:148-157``)."""
+        annotated like the reference stream: a contour ring around each
+        blob plus its pixel coordinates as text
+        (``computer_code/api/helpers.py:148-157`` — cv.drawContours +
+        cv.putText; here a crosshair + box outline + bitmap digits, no
+        OpenCV dependency on the serving path)."""
         with self._frame_lock:
             if self._last_frames is None:
                 return None
@@ -1086,13 +1144,51 @@ class Engine:
             bvalid = np.asarray(out.blob_valid)
             for c in range(frames.shape[0]):
                 for k in np.where(bvalid[c])[0]:
-                    x = int(np.clip(blobs[c, k, 0], 0, W - 1)) + c * W
-                    y = int(np.clip(blobs[c, k, 1], 0, H - 1))
+                    bx, by = blobs[c, k, 0], blobs[c, k, 1]
+                    x = int(np.clip(bx, 0, W - 1)) + c * W
+                    y = int(np.clip(by, 0, H - 1))
                     x0, x1 = max(x - 4, 0), min(x + 5, strip.shape[1])
                     y0, y1 = max(y - 4, 0), min(y + 5, H)
                     strip[y, x0:x1] = 255   # crosshair
                     strip[y0:y1, x] = 255
+                    # contour ring (box outline at the blob boundary)
+                    strip[y0:y1, x0] = 255
+                    strip[y0:y1, x1 - 1] = 255
+                    strip[y0, x0:x1] = 255
+                    strip[y1 - 1, x0:x1] = 255
+                    # coordinate label (reference: helpers.py:153-157)
+                    _draw_text(strip, x + 6, y - 6,
+                               f"{bx:.0f},{by:.0f}")
         return strip
+
+
+# 3x5 bitmap glyphs for the stream's coordinate labels (digits + ',' '-'
+# '.'), row-major bits — enough for "x,y" annotations without cv2.putText
+_GLYPHS = {
+    "0": 0b111101101101111, "1": 0b010110010010111, "2": 0b111001111100111,
+    "3": 0b111001111001111, "4": 0b101101111001001, "5": 0b111100111001111,
+    "6": 0b111100111101111, "7": 0b111001010010010, "8": 0b111101111101111,
+    "9": 0b111101111001111, ",": 0b000000010010100, "-": 0b000000111000000,
+    ".": 0b000000000000010,
+}
+
+
+def _draw_text(img: np.ndarray, x: int, y: int, text: str,
+               value: int = 255) -> None:
+    """Render 3x5 bitmap text into a grayscale image in place (clipped)."""
+    H, W = img.shape
+    for ch in text:
+        bits = _GLYPHS.get(ch)
+        if bits is None:
+            x += 4
+            continue
+        for r in range(5):
+            for col in range(3):
+                if bits >> (14 - r * 3 - col) & 1:
+                    yy, xx = y + r, x + col
+                    if 0 <= yy < H and 0 <= xx < W:
+                        img[yy, xx] = value
+        x += 4
 
 
 def camera_poses_to_serializable(Rs: np.ndarray, ts: np.ndarray):

@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--weighted-centroids", action="store_true",
                    help="intensity-weighted sub-pixel blob centroids "
                         "(host-detect path; ~2x lower 3D marker error)")
+    p.add_argument("--dispatch-batch", type=int, default=1,
+                   help="frames per device dispatch (one lax.scan program; "
+                        "amortises the per-dispatch RPC on tunneled links "
+                        "at N frames of latency — keep 1 for closed-loop "
+                        "control, raise for high-rate serving)")
     p.add_argument("--calibration", help="calibration artifact (json) to load")
     p.add_argument("--body-markers",
                    help="JSON [[x,y,z],...] rigid-body template (engine "
@@ -56,7 +61,8 @@ def main(argv=None):
     # overlap it with compute by harvesting results a few frames late
     depth = 0 if jax.default_backend() == "cpu" else 6
     cfg = EngineConfig(target_fps=args.fps, readback_pipeline_depth=depth,
-                       weighted_centroids=args.weighted_centroids)
+                       weighted_centroids=args.weighted_centroids,
+                       dispatch_batch=args.dispatch_batch)
 
     body_kw = {}
     if args.body_markers:

@@ -166,3 +166,47 @@ def test_engine_host_detect_matches_reference_path():
     np.testing.assert_allclose(np.asarray(outs[0].object_points)[pv[0]],
                                np.asarray(outs[1].object_points)[pv[1]],
                                atol=1e-5)
+
+
+def test_dispatch_batch_bit_identical_to_per_frame():
+    """Batched-dispatch serving (EngineConfig.dispatch_batch) emits the
+    SAME outputs as per-frame dispatch over the same frame sequence — one
+    scan program vs B single steps, tracker state carried identically."""
+    import jax
+
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("CPU-only parity test")
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.runtime.engine import Engine
+    from low_cost_mocap_tpu.runtime.serial_link import CollectingLink
+    from low_cost_mocap_tpu.runtime.sources import SyntheticSource
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    B = 4
+    src = SyntheticSource(rig, Rs, ts, num_drones=1)
+    frames_seq = [np.array(src.read()) for _ in range(2 * B)]
+
+    events = []
+    for cfg in (EngineConfig(), EngineConfig(dispatch_batch=B)):
+        e = Engine(rig, cfg, SyntheticSource(rig, Rs, ts, num_drones=1),
+                   CollectingLink(), fast_path=True, host_detect=True)
+        if cfg.dispatch_batch > 1:
+            assert e._step_scan is not None
+        e.set_camera_poses(Rs, ts)
+        e.is_capturing_points = True
+        e.is_triangulating_points = True
+        e.is_locating_objects = True
+        got = []
+        e.on("object-points", got.append)
+        rets = [e.process_frame(f, 1 / 60) for f in frames_seq]
+        events.append(got)
+        if cfg.dispatch_batch > 1:
+            # outputs appear only when a batch completes
+            assert [r is None for r in rets] == \
+                [(i + 1) % B != 0 for i in range(2 * B)]
+    assert len(events[0]) == len(events[1]) == 2 * B
+    for a, b in zip(events[0], events[1]):
+        np.testing.assert_array_equal(
+            np.asarray(a["object_points"]), np.asarray(b["object_points"]))
+        assert a["filtered_objects"] == b["filtered_objects"]
+        assert a["objects"] == b["objects"]
