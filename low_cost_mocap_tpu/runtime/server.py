@@ -20,6 +20,8 @@ import io
 import json
 import socket
 import threading
+import time
+import urllib.parse
 import uuid
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -76,6 +78,71 @@ class _Client:
             return False
 
 
+class _PollSession:
+    """One Engine.IO v4 HTTP long-polling session (default first transport
+    of socket.io-client — ``socket.ts:3``; the reference serves it through
+    flask-socketio, ``computer_code/api/index.py:23-25,326-327``).
+
+    Doubles as a broadcast target: ``send_text`` enqueues for the next
+    long-poll, or forwards straight to the WebSocket once the client
+    upgrades (probe/upgrade handshake in ``MocapServer._serve_ws``).
+    """
+
+    PING_INTERVAL = 25.0
+    PING_TIMEOUT = 20.0
+
+    def __init__(self, sid: str):
+        self.sid = sid
+        self.queue: list[str] = []
+        self.cond = threading.Condition()
+        self.last_seen = time.time()
+        self.connected = False          # socket.io "40" handshake done
+        self.upgraded = False
+        self.ws_client: _Client | None = None
+
+    def send_text(self, text: str) -> bool:
+        with self.cond:
+            if self.upgraded and self.ws_client is not None:
+                return self.ws_client.send_text(text)
+            self.queue.append(text)
+            self.cond.notify_all()
+            return True
+
+    def drain(self, hold_s: float) -> list[str]:
+        """Long-poll: block until packets arrive, the session upgrades
+        (release with an Engine.IO noop), or ``hold_s`` elapses (release
+        with a server ping, which also drives the v4 heartbeat)."""
+        with self.cond:
+            deadline = time.time() + hold_s
+            while (not self.queue and not self.upgraded
+                   and time.time() < deadline):
+                self.cond.wait(max(deadline - time.time(), 0.01))
+            self.last_seen = time.time()
+            if self.queue:
+                packets, self.queue = self.queue, []
+                return packets
+            return ["6"] if self.upgraded else ["2"]
+
+    def begin_upgrade(self, ws_client: _Client) -> None:
+        """Probe accepted + "5" received: flush the polling queue over the
+        socket and release any parked GET with a noop."""
+        with self.cond:
+            pending, self.queue = self.queue, []
+            self.ws_client = ws_client
+            self.upgraded = True
+            self.cond.notify_all()
+        for p in pending:
+            ws_client.send_text(p)
+
+    @property
+    def expired(self) -> bool:
+        ttl = self.PING_INTERVAL + self.PING_TIMEOUT
+        with self.cond:
+            if self.upgraded:
+                return False        # lifetime now owned by the ws loop
+            return time.time() - self.last_seen > ttl
+
+
 class MocapServer:
     """Binds an Engine to the network surface."""
 
@@ -84,8 +151,10 @@ class MocapServer:
         self.engine = engine
         self.host = host
         self.port = port
-        self._clients: set[_Client] = set()
+        self._clients: set = set()          # _Client | _PollSession
         self._clients_lock = threading.Lock()
+        self._sessions: dict[str, _PollSession] = {}
+        self._sessions_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -133,7 +202,12 @@ class MocapServer:
 
             def do_GET(self):
                 if self.path.startswith("/socket.io/"):
-                    server._serve_socketio(self)
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlsplit(self.path).query)
+                    if q.get("transport", ["polling"])[0] == "websocket":
+                        server._serve_ws(self, q)
+                    else:
+                        server._serve_polling_get(self, q)
                 elif self.path.startswith("/api/camera-stream"):
                     server._serve_mjpeg(self)
                 elif self.path in ("/", "/index.html"):
@@ -146,6 +220,10 @@ class MocapServer:
             def do_POST(self):
                 if self.path.startswith("/api/trajectory-planning"):
                     server._serve_trajectory(self)
+                elif self.path.startswith("/socket.io/"):
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlsplit(self.path).query)
+                    server._serve_polling_post(self, q)
                 else:
                     self.send_response(404)
                     self.send_header("Content-Length", "0")
@@ -179,7 +257,7 @@ class MocapServer:
         handler.end_headers()
         handler.wfile.write(body)
 
-    def _serve_socketio(self, handler: BaseHTTPRequestHandler) -> None:
+    def _serve_ws(self, handler: BaseHTTPRequestHandler, q: dict) -> None:
         key = handler.headers.get("Sec-WebSocket-Key")
         if (handler.headers.get("Upgrade", "").lower() != "websocket"
                 or key is None):
@@ -195,8 +273,16 @@ class MocapServer:
         handler.close_connection = True
 
         client = _Client(handler)
-        sid = uuid.uuid4().hex[:16]
-        client.send_text(wsproto.eio_open(sid))
+        # transport upgrade from polling: the Engine.IO session already
+        # exists — no new open packet; expect the probe/upgrade dance
+        sid = q.get("sid", [None])[0]
+        session = self._sessions.get(sid) if sid else None
+        if sid is not None and session is None:
+            client.send_text('4{"message":"Session ID unknown"}')
+            return
+        if session is None:
+            sid = uuid.uuid4().hex[:16]
+            client.send_text(wsproto.eio_open(sid))
 
         parser = wsproto.FrameParser()
         handler.connection.settimeout(30.0)
@@ -224,6 +310,11 @@ class MocapServer:
                         client.send_text("3")
                     elif text == "3":         # pong
                         continue
+                    elif text == "2probe":    # upgrade probe
+                        client.send_text("3probe")
+                    elif text == "5":         # upgrade commit
+                        if session is not None:
+                            session.begin_upgrade(client)
                     elif text == "40" or text.startswith("40{"):
                         # register BEFORE acking: a client that emits (or a
                         # broadcast that fires) right after seeing the ack
@@ -243,6 +334,100 @@ class MocapServer:
                                     {"event": name, "error": str(e)}))
         finally:
             self._remove_client(client)
+            if session is not None:
+                self._remove_client(session)
+                with self._sessions_lock:
+                    self._sessions.pop(session.sid, None)
+
+    # ------------------------------------------- Engine.IO HTTP polling
+
+    def _respond_polling(self, handler, body: bytes, status: int = 200,
+                         ctype: str = "text/plain; charset=UTF-8") -> None:
+        handler.send_response(status)
+        handler.send_header("Content-Type", ctype)
+        handler.send_header("Access-Control-Allow-Origin",
+                            handler.headers.get("Origin", "*"))
+        handler.send_header("Access-Control-Allow-Credentials", "true")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        try:
+            handler.wfile.write(body)
+        except OSError:
+            pass
+
+    def _reap_sessions(self) -> None:
+        with self._sessions_lock:
+            dead = [s for s in self._sessions.values() if s.expired]
+            for s in dead:
+                del self._sessions[s.sid]
+        for s in dead:
+            self._remove_client(s)
+
+    def _serve_polling_get(self, handler, q: dict) -> None:
+        """Engine.IO v4 polling GET: handshake (no sid) or long-poll drain.
+
+        Conformance target: socket.io-client's default transport order
+        tries THIS first (``socket.ts:3``); the reference serves it via
+        flask-socketio (``computer_code/api/index.py:326-327``)."""
+        self._reap_sessions()
+        sid = q.get("sid", [None])[0]
+        if sid is None:                       # open handshake
+            sid = uuid.uuid4().hex[:16]
+            session = _PollSession(sid)
+            with self._sessions_lock:
+                self._sessions[sid] = session
+            open_pkt = wsproto.eio_open(
+                sid, int(_PollSession.PING_INTERVAL * 1000),
+                int(_PollSession.PING_TIMEOUT * 1000),
+                upgrades=["websocket"])
+            self._respond_polling(
+                handler, wsproto.encode_polling_payload([open_pkt]))
+            return
+        session = self._sessions.get(sid)
+        if session is None:
+            self._respond_polling(
+                handler, b'{"code":1,"message":"Session ID unknown"}', 400)
+            return
+        packets = session.drain(hold_s=min(
+            _PollSession.PING_INTERVAL, 20.0))
+        self._respond_polling(
+            handler, wsproto.encode_polling_payload(packets))
+
+    def _serve_polling_post(self, handler, q: dict) -> None:
+        """Engine.IO v4 polling POST: client -> server packet batch."""
+        sid = q.get("sid", [None])[0]
+        session = self._sessions.get(sid) if sid else None
+        if session is None:
+            self._respond_polling(
+                handler, b'{"code":1,"message":"Session ID unknown"}', 400)
+            return
+        length = int(handler.headers.get("Content-Length", 0))
+        body = handler.rfile.read(length)
+        session.last_seen = time.time()
+        for text in wsproto.decode_polling_payload(body):
+            if text == "3":               # heartbeat pong
+                continue
+            if text == "2":
+                session.send_text("3")
+            elif text == "40" or text.startswith("40{"):
+                session.connected = True
+                self._add_client(session)
+                session.send_text(wsproto.sio_connect_ack(session.sid))
+            elif text == "1":             # engine.io close
+                with self._sessions_lock:
+                    self._sessions.pop(session.sid, None)
+                self._remove_client(session)
+            else:
+                evt = wsproto.parse_sio_event(text)
+                if evt is not None:
+                    name, args = evt
+                    try:
+                        self.engine.handle(name, args[0] if args else None)
+                    except Exception as e:  # surface, don't die
+                        session.send_text(wsproto.sio_event(
+                            "server-error",
+                            {"event": name, "error": str(e)}))
+        self._respond_polling(handler, b"ok")
 
     def _serve_mjpeg(self, handler: BaseHTTPRequestHandler) -> None:
         handler.send_response(200)

@@ -123,14 +123,32 @@ class FrameParser:
 
 
 def eio_open(sid: str, ping_interval_ms: int = 25000,
-             ping_timeout_ms: int = 20000) -> str:
+             ping_timeout_ms: int = 20000, upgrades=()) -> str:
     return "0" + json.dumps({
         "sid": sid,
-        "upgrades": [],
+        "upgrades": list(upgrades),
         "pingInterval": ping_interval_ms,
         "pingTimeout": ping_timeout_ms,
         "maxPayload": 10_000_000,
     })
+
+
+# Engine.IO v4 HTTP long-polling payload framing: packets joined by the
+# U+001E record separator (one packet per GET response is also legal).
+# This is the DEFAULT first transport of socket.io-client
+# (``computer_code/src/shared/styles/scripts/socket.ts:3`` creates the
+# client with default transports = ["polling", "websocket"]), served by
+# flask-socketio in the reference (``computer_code/api/index.py:23-25``).
+RECORD_SEP = "\x1e"
+
+
+def encode_polling_payload(packets) -> bytes:
+    return RECORD_SEP.join(packets).encode()
+
+
+def decode_polling_payload(body: bytes) -> list[str]:
+    text = body.decode()
+    return [p for p in text.split(RECORD_SEP) if p]
 
 
 def sio_connect_ack(sid: str) -> str:

@@ -20,12 +20,12 @@ from low_cost_mocap_tpu.utils import synthetic as syn
 class SioClient:
     """Minimal Socket.IO-over-WebSocket client (stdlib only)."""
 
-    def __init__(self, host, port, timeout=5.0):
+    def __init__(self, host, port, timeout=5.0, query=""):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.parser = wsproto.FrameParser()
         self.packets = []
         key = "dGhlIHNhbXBsZSBub25jZQ=="
-        req = (f"GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n"
+        req = (f"GET /socket.io/?EIO=4&transport=websocket{query} HTTP/1.1\r\n"
                f"Host: {host}:{port}\r\nUpgrade: websocket\r\n"
                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
                f"Sec-WebSocket-Version: 13\r\n\r\n")
@@ -109,6 +109,126 @@ def test_socketio_handshake_and_event_roundtrip(server):
     c.wait_packet(lambda p: p.startswith('42["image-points"'))
     eng.handle("capture-points", {"startOrStop": "stop"})
     c.close()
+
+
+class PollingClient:
+    """Engine.IO v4 HTTP long-polling client, speaking the DEFAULT
+    socket.io-client handshake (polling first — the reference frontend's
+    ``io("http://localhost:3001")`` at socket.ts:3 starts here)."""
+
+    def __init__(self, host, port, timeout=10.0):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.n = 0
+        packets = self.get(sid=None)
+        open_pkts = [p for p in packets if p.startswith("0")]
+        assert open_pkts, packets
+        self.handshake = json.loads(open_pkts[0][1:])
+        self.sid = self.handshake["sid"]
+
+    def _url(self, sid):
+        self.n += 1
+        url = f"/socket.io/?EIO=4&transport=polling&t=t{self.n}"
+        return url + (f"&sid={sid}" if sid else "")
+
+    def get(self, sid="default"):
+        sid = self.sid if sid == "default" else sid
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+        conn.request("GET", self._url(sid))
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        body = resp.read().decode()
+        conn.close()
+        return [p for p in body.split("\x1e") if p]
+
+    def post(self, *packets):
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+        conn.request("POST", self._url(self.sid), "\x1e".join(packets),
+                     {"Content-Type": "text/plain; charset=UTF-8"})
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        return resp.status, body
+
+    def wait_packet(self, pred, timeout=5.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            for p in self.get():
+                if pred(p):
+                    return p
+        raise TimeoutError("no matching packet over polling")
+
+
+def test_polling_default_client_handshake(server):
+    """The unmodified reference client connects polling-first
+    (socket.ts:3): open handshake, socket.io connect, event exchange both
+    ways — all over plain HTTP GET/POST."""
+    srv, eng, source = server
+    c = PollingClient("127.0.0.1", srv.port)
+    assert "websocket" in c.handshake["upgrades"]
+    assert c.handshake["pingInterval"] > 0
+
+    status, body = c.post("40")          # socket.io connect
+    assert status == 200 and body == b"ok"
+    ack = c.wait_packet(lambda p: p.startswith("40{"))
+    assert json.loads(ack[2:])["sid"]
+
+    # client -> server event through POST
+    c.post(wsproto.sio_event("capture-points", {"startOrStop": "start"}))
+    deadline = time.time() + 5
+    while not eng.is_capturing_points and time.time() < deadline:
+        time.sleep(0.02)
+    assert eng.is_capturing_points
+
+    # server -> client broadcast through long-poll GET
+    eng.process_frame(source.read(), 1 / 60)
+    c.wait_packet(lambda p: p.startswith('42["image-points"'))
+    eng.handle("capture-points", {"startOrStop": "stop"})
+
+    # heartbeat: client pong accepted
+    status, body = c.post("3")
+    assert status == 200
+
+    # unknown sid is rejected
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=5)
+    conn.request("GET", "/socket.io/?EIO=4&transport=polling&sid=nope")
+    assert conn.getresponse().status == 400
+    conn.close()
+    c.post("1")                          # engine.io close
+
+
+def test_polling_upgrade_to_websocket(server):
+    """Full default-client flow: polling handshake -> sio connect ->
+    probe/upgrade -> events ride the websocket afterwards."""
+    srv, eng, source = server
+    c = PollingClient("127.0.0.1", srv.port)
+    c.post("40")
+    c.wait_packet(lambda p: p.startswith("40{"))
+
+    ws = SioClient("127.0.0.1", srv.port, query=f"&sid={c.sid}")
+    ws.send_text("2probe")
+    ws.wait_packet(lambda p: p == "3probe")
+    # no second open packet on an upgrade connection
+    assert not any(p.startswith("0{") for p in ws.packets)
+    ws.send_text("5")                    # commit upgrade
+    time.sleep(0.1)
+
+    # post-upgrade: broadcasts arrive over the websocket...
+    eng.emit("fps", {"fps": 42})
+    ws.wait_packet(lambda p: (wsproto.parse_sio_event(p) or (None,))[0]
+                   == "fps")
+    # ...and a subsequent poll releases with the noop packet
+    assert c.get() == ["6"]
+
+    # client -> server events over the upgraded socket still dispatch
+    ws.emit("locate-objects", {"startOrStop": "start"})
+    deadline = time.time() + 5
+    while not eng.is_locating_objects and time.time() < deadline:
+        time.sleep(0.02)
+    assert eng.is_locating_objects
+    eng.handle("locate-objects", {"startOrStop": "stop"})
+    ws.close()
 
 
 def test_unknown_event_returns_server_error(server):
