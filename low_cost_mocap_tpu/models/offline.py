@@ -38,6 +38,11 @@ class SequenceResult(NamedTuple):
     #                             fixed-interval smoothed drone tracks
     #                             (``smooth=True``; removes the causal
     #                             filter's lag, the dominant ATE term)
+    smoothed_bodies: object = None  # body_tracker.SmoothedBodies
+    #                             (T, I, ...) — CV-RTS + quaternion-SLERP
+    #                             smoothed 6-DoF body tracks
+    #                             (``smooth=True`` with body sets; gap
+    #                             frames interpolate instead of coasting)
 
 
 def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
@@ -107,15 +112,14 @@ def detect_recording_host(frames_u8_seq, threshold: float, max_blobs: int,
     """
     import numpy as np
 
-    from low_cost_mocap_tpu.control.bindings import detect_blobs
-    from low_cost_mocap_tpu.ops.detect import pack_frames
+    from low_cost_mocap_tpu.control.bindings import ingest_detect
+    from low_cost_mocap_tpu.ops.detect import threshold_cutoff
 
     T, C, H, W = frames_u8_seq.shape
     frames = np.asarray(frames_u8_seq)
-    bits = pack_frames(frames, threshold)
-    blobs, valid, _ = detect_blobs(
-        bits.reshape(T * C, H, W // 8), H, W, max_blobs,
-        gray=frames.reshape(T * C, H, W) if weighted else None)
+    blobs, valid, _ = ingest_detect(
+        frames.reshape(T * C, H, W), threshold_cutoff(float(threshold)),
+        max_blobs, weighted=weighted)
     return blobs.reshape(T, C, max_blobs, 2), valid.reshape(T, C, max_blobs)
 
 
@@ -144,6 +148,7 @@ def _blob_tail(blobs, bvalid, Ps, K, dist, to_world_matrix,
 def stream_recording(frames_u8_seq, Ps, K, dist, to_world_matrix,
                      rig: RigConfig, cfg: EngineConfig, dts=None,
                      block: int = 64, state=None, body_sets=None,
+                     body_template=None, max_bodies: int = 2,
                      weighted: bool = False):
     """Block-streamed processing: unbounded recordings, bounded memory,
     host detection overlapped with device compute.
@@ -163,74 +168,144 @@ def stream_recording(frames_u8_seq, Ps, K, dist, to_world_matrix,
     - an endless source (live replay, growing file) can be consumed
       incrementally: pass ``state`` back in to continue.
 
-    frames_u8_seq: (T, C, H, W) uint8 with T % block == 0 (pad or trim
-    the tail frame-sets; a partial block would recompile).
-    Returns (SequenceResult without bodies, final tracker state).
+    frames_u8_seq: (T, C, H, W) uint8, ANY length: a partial final block
+    is zero-padded and gated with a per-frame live mask inside the same
+    compiled program (no recompile, tracker state untouched by the pad),
+    and the outputs are trimmed back to T.
+
+    body_sets / body_template + max_bodies: generalized 6-DoF rigid-body
+    fitting + tracking per frame, exactly as in ``process_recording`` —
+    per-set ``BodyTrackState`` is carried across blocks inside ``state``,
+    so streamed body tracks are bit-identical to the one-shot path.
+    Returns (SequenceResult, final tracker state).
     """
     import numpy as np
 
     from low_cost_mocap_tpu.ops import kalman as _k
 
-    if body_sets:
-        raise NotImplementedError(
-            "stream_recording tracks the drone bank; use "
-            "process_recording for body sets")
+    if body_sets is None and body_template is not None:
+        body_sets = ((body_template, int(max_bodies)),)
+    body_sets = tuple(body_sets) if body_sets else None
     T = frames_u8_seq.shape[0]
-    if T % block != 0:
-        raise ValueError(f"T={T} not divisible by block={block}")
+    if T == 0:
+        raise ValueError("empty recording")
     if dts is None:
         dts = np.full((T,), 1.0 / cfg.target_fps, np.float32)
     dts = np.asarray(dts, np.float32)
     if state is None:
         state = _k.init_state(rig.num_objects)
+        if body_sets:
+            from low_cost_mocap_tpu.ops import body_tracker
 
-    run = _compiled_block(rig, cfg)
+            state = (state, tuple(body_tracker.init_state(mi)
+                                  for _, mi in body_sets))
+
+    run = _compiled_block(rig, cfg, body_sets)
     frames = np.asarray(frames_u8_seq)
+    n_blocks = -(-T // block)
+    pad = n_blocks * block - T
 
     def detect(i):
         blk = frames[i * block:(i + 1) * block]
-        return detect_recording_host(blk, cfg.detect_threshold,
-                                     cfg.max_blobs, weighted=weighted)
+        live = np.ones((len(blk),), bool)
+        if len(blk) < block:                 # zero-pad the partial tail
+            live = np.concatenate([live, np.zeros((block - len(blk),), bool)])
+            blk = np.concatenate([
+                blk, np.zeros((block - len(blk), *blk.shape[1:]), blk.dtype)])
+        blobs, valid = detect_recording_host(
+            blk, cfg.detect_threshold, cfg.max_blobs, weighted=weighted)
+        d = dts[i * block:(i + 1) * block]
+        if len(d) < block:
+            d = np.concatenate(
+                [d, np.full((block - len(d),), 1.0, np.float32)])
+        return blobs, valid, d, live
 
     outs = []
     nxt = detect(0)
-    for i in range(T // block):
-        blobs, valid = nxt
+    for i in range(n_blocks):
+        blobs, valid, d, live = nxt
         # dispatch is async: the device chews on this block while the host
         # detects the next one
-        state, out = run(state, blobs, valid,
-                         dts[i * block:(i + 1) * block],
+        state, out = run(state, blobs, valid, d, live,
                          Ps, K, dist, to_world_matrix)
-        if i + 1 < T // block:
+        if i + 1 < n_blocks:
             nxt = detect(i + 1)
         outs.append(out)
     res = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    if pad:
+        res = jax.tree.map(lambda x: x[:T], res)
     return res, state
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_block(rig: RigConfig, cfg: EngineConfig):
+def _compiled_block(rig: RigConfig, cfg: EngineConfig, body_sets=None):
     """One compiled block step for ``stream_recording``: vmapped vision
-    tail over the block, tracker scan with carried state."""
+    tail over the block, tracker scan(s) with carried state.  ``live``
+    gates padded tail frames: a dead frame passes every tracker state
+    through untouched, so arbitrary-length recordings need no recompile."""
     from low_cost_mocap_tpu.ops import kalman as _k
 
+    def _gate(lv, new, old):
+        return jax.tree.map(lambda n, o: jnp.where(lv, n, o), new, old)
+
     @jax.jit
-    def run(state, blobs, bvalid, dts, Ps, K, dist, to_world_matrix):
+    def run(state, blobs, bvalid, dts, live, Ps, K, dist, to_world_matrix):
+        if body_sets:
+            state, body_states = state
         v = functools.partial(_blob_tail, Ps=Ps, K=K, dist=dist,
                               to_world_matrix=to_world_matrix,
                               rig=rig, cfg=cfg)
         pts_w, pvalid, perr, loc = jax.vmap(v)(blobs, bvalid)
 
         def track_step(st, inp):
-            l_pos, l_head, l_idx, l_valid, dt = inp
-            return _k.update(st, l_pos, l_head, l_idx, l_valid, dt,
-                             report=cfg.kalman_report)
+            l_pos, l_head, l_idx, l_valid, dt, lv = inp
+            st2, out = _k.update(st, l_pos, l_head, l_idx, l_valid, dt,
+                                 report=cfg.kalman_report)
+            return _gate(lv, st2, st), out
 
         state2, tracked = jax.lax.scan(
             track_step, state,
-            (loc.pos, loc.heading, loc.index, loc.valid, dts))
+            (loc.pos, loc.heading, loc.index, loc.valid, dts, live))
+
+        bodies = body_tracks = None
+        if body_sets:
+            from low_cost_mocap_tpu.ops import body_tracker
+            from low_cost_mocap_tpu.ops.rigid_general import locate_bodies
+
+            def fit(pts_f, pvalid_f):
+                live_pts = pvalid_f
+                parts = []
+                for tmpl, max_inst in body_sets:
+                    b, live_pts = locate_bodies(pts_f, live_pts, tmpl,
+                                                max_instances=max_inst,
+                                                return_live=True)
+                    parts.append(b)
+                return jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+
+            bodies = jax.vmap(fit)(pts_w, pvalid)
+
+            def body_step(st, inp):
+                b_t, b_R, b_rms, b_valid, dt, lv = inp
+                st2, tb = body_tracker.update(st, b_t, b_R, b_rms,
+                                              b_valid, dt)
+                return _gate(lv, st2, st), tb
+
+            track_parts, new_bstates_l, off = [], [], 0
+            for si, (_, max_inst) in enumerate(body_sets):
+                sl = slice(off, off + max_inst)
+                st2, tp = jax.lax.scan(
+                    body_step, body_states[si],
+                    (bodies.t[:, sl], bodies.R[:, sl], bodies.rms[:, sl],
+                     bodies.valid[:, sl], dts, live))
+                track_parts.append(tp)
+                new_bstates_l.append(st2)
+                off += max_inst
+            body_tracks = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *track_parts)
+            state2 = (state2, tuple(new_bstates_l))
         return state2, SequenceResult(pts_w, pvalid, perr, loc.pos,
-                                      loc.valid, tracked)
+                                      loc.valid, tracked, bodies,
+                                      body_tracks)
 
     return run
 
@@ -318,6 +393,7 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                 meas_noise=cfg.kalman_measurement_noise)
 
         body_tracks = None
+        smoothed_bodies = None
         if bodies is not None:
             from low_cost_mocap_tpu.ops import body_tracker
 
@@ -326,7 +402,7 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                 return body_tracker.update(st, b_t, b_R, b_rms, b_valid, dt)
 
             # one tracker per template set over its slot slice (static)
-            track_parts, off = [], 0
+            track_parts, smooth_parts, off = [], [], 0
             for _, max_inst in body_sets:
                 sl = slice(off, off + max_inst)
                 _, tp = jax.lax.scan(
@@ -334,10 +410,21 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
                     (bodies.t[:, sl], bodies.R[:, sl], bodies.rms[:, sl],
                      bodies.valid[:, sl], dts))
                 track_parts.append(tp)
+                if smooth:
+                    # acausal 6-DoF smoothing (CV-RTS + quaternion SLERP):
+                    # the body-track counterpart of kalman.smooth_sequence
+                    smooth_parts.append(body_tracker.smooth_body_sequence(
+                        bodies.t[:, sl], bodies.R[:, sl],
+                        bodies.rms[:, sl], bodies.valid[:, sl], dts,
+                        max_bodies=max_inst))
                 off += max_inst
             body_tracks = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=1), *track_parts)
+            if smooth:
+                smoothed_bodies = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=1), *smooth_parts)
         return SequenceResult(pts_w, pvalid, perr, loc.pos, loc.valid,
-                              tracked, bodies, body_tracks, smoothed)
+                              tracked, bodies, body_tracks, smoothed,
+                              smoothed_bodies)
 
     return run

@@ -66,11 +66,14 @@ def quat_to_rot(q):
     return quat_to_matrix(q)
 
 
-@functools.partial(jax.jit, static_argnames=("max_missed",))
+@functools.partial(jax.jit, static_argnames=(
+    "max_missed", "return_meas", "gate_m", "rms_max", "pos_gain",
+    "vel_gain", "quat_gain"))
 def update(state: BodyTrackState, fit_t, fit_R, fit_rms, fit_valid, dt, *,
            gate_m: float = 0.15, rms_max: float = 0.02,
            max_missed: int = 8, pos_gain: float = 0.6,
-           vel_gain: float = 0.4, quat_gain: float = 0.5
+           vel_gain: float = 0.4, quat_gain: float = 0.5,
+           return_meas: bool = False
            ) -> tuple[BodyTrackState, TrackedBodies]:
     """One tracker step over a frame's body fits.
 
@@ -168,5 +171,215 @@ def update(state: BodyTrackState, fit_t, fit_R, fit_rms, fit_valid, dt, *,
 
     new_state = BodyTrackState(pos=pos_s, vel=vel_s, quat=quat_s,
                                active=active_s, missed=missed_s)
-    return new_state, TrackedBodies(pos=pos_s, vel=vel_s, quat=quat_s,
-                                    valid=active_s)
+    tracked = TrackedBodies(pos=pos_s, vel=vel_s, quat=quat_s,
+                            valid=active_s)
+    if return_meas:
+        # the ASSOCIATED raw measurement per slot (offline smoothing input):
+        # a spawned slot's first fit counts as its measurement too
+        spawn_meas = active_s & (~state.active) & ~matched
+        # recover which fit seeded each spawned slot: nearest fit to pos_s
+        d_sp = jnp.linalg.norm(pos_s[:, None, :] - fit_t[None, :, :],
+                               axis=-1)
+        j_sp = jnp.argmin(jnp.where(meas_ok[None, :], d_sp, jnp.inf),
+                          axis=1)
+        m_ok = matched | spawn_meas
+        m_pos = jnp.where(matched[:, None], meas_pos, fit_t[j_sp])
+        m_quat = jnp.where(matched[:, None], meas_quat, meas_q[j_sp])
+        return new_state, (tracked, (m_pos, m_quat, m_ok))
+    return new_state, tracked
+
+
+# ---------------------------------------------------------------------------
+# Offline fixed-interval smoothing of 6-DoF body tracks
+# ---------------------------------------------------------------------------
+#
+# The drone bank has an offline RTS smoother (ops/kalman.rts_smooth); this
+# is the same acausal capability for generalized rigid bodies: a
+# constant-velocity Kalman forward pass over the ASSOCIATED per-frame fit
+# positions (association by the causal tracker above), an RTS backward
+# pass, and time-parameterised quaternion SLERP through occlusion gaps.
+# No reference analogue (SURVEY.md §5 — the reference keeps no history).
+
+
+class SmoothedBodies(NamedTuple):
+    pos: jnp.ndarray    # (T, I, 3) smoothed positions
+    vel: jnp.ndarray    # (T, I, 3)
+    quat: jnp.ndarray   # (T, I, 4) sign-aligned, gap-SLERPed
+    valid: jnp.ndarray  # (T, I) inside the track's [first, last] sighting
+
+
+def _F6(dt, dtype):
+    F = jnp.eye(6, dtype=dtype)
+    return F.at[:3, 3:].set(dt * jnp.eye(3, dtype=dtype))
+
+
+def _cv_forward(z, ok, dts, process_noise, meas_noise):
+    """Per-slot constant-velocity Kalman filter, one predict per frame.
+
+    z: (T, I, 3) associated measurements; ok: (T, I); dts: (T,).
+    Returns committed (xs (T, I, 6), Ps (T, I, 6, 6), inited (T, I)).
+    """
+    dtype = z.dtype
+    I6 = jnp.eye(6, dtype=dtype)
+    H = jnp.zeros((3, 6), dtype).at[:, :3].set(jnp.eye(3, dtype=dtype))
+    R = jnp.eye(3, dtype=dtype) * meas_noise
+    Q = I6 * process_noise
+    n_slots = z.shape[1]
+
+    def step(carry, inp):
+        x, P, inited = carry                    # (I, 6), (I, 6, 6), (I,)
+        zt, okt, dt = inp
+        F = _F6(dt, dtype)
+        x_pre = jnp.einsum("ij,oj->oi", F, x)
+        P_pre = jnp.einsum("ij,ojk,lk->oil", F, P, F) + Q
+        need = okt & ~inited
+        x_pre = jnp.where(need[:, None],
+                          jnp.concatenate([zt, jnp.zeros_like(zt)], -1),
+                          x_pre)
+        P_pre = jnp.where(need[:, None, None], I6, P_pre)
+        inited2 = inited | okt
+        S = jnp.einsum("ij,ojk,lk->oil", H, P_pre, H) + R
+        K = jnp.einsum("oij,kj,okl->oil", P_pre, H, jnp.linalg.inv(S))
+        resid = zt - jnp.einsum("ij,oj->oi", H, x_pre)
+        x_post = x_pre + jnp.einsum("oij,oj->oi", K, resid)
+        P_post = P_pre - jnp.einsum("oij,jk,okl->oil", K, H, P_pre)
+        x_new = jnp.where(okt[:, None], x_post, x_pre)
+        P_new = jnp.where(okt[:, None, None], P_post, P_pre)
+        # uninitialized slots stay frozen
+        x_new = jnp.where(inited2[:, None], x_new, x)
+        P_new = jnp.where(inited2[:, None, None], P_new, P)
+        return (x_new, P_new, inited2), (x_new, P_new, inited2)
+
+    x0 = jnp.zeros((n_slots, 6), dtype)
+    P0 = jnp.tile(I6, (n_slots, 1, 1))
+    _, (xs, Ps, inited) = jax.lax.scan(
+        step, (x0, P0, jnp.zeros((n_slots,), bool)), (z, ok, dts))
+    return xs, Ps, inited
+
+
+def _cv_rts(xs, Ps, dts, process_noise):
+    """RTS backward pass for the CV model (mirror of kalman.rts_smooth)."""
+    dtype = xs.dtype
+    Q = jnp.eye(6, dtype=dtype) * process_noise
+
+    def backward(carry, inp):
+        x_next_s, P_next_s = carry
+        x_k, P_k, dt_next = inp
+        F = _F6(dt_next, dtype)
+        x_pred = jnp.einsum("ij,oj->oi", F, x_k)
+        P_pred = jnp.einsum("ij,ojk,lk->oil", F, P_k, F) + Q
+        C = jnp.einsum("oij,kj,okl->oil", P_k, F, jnp.linalg.inv(P_pred))
+        x_s = x_k + jnp.einsum("oij,oj->oi", C, x_next_s - x_pred)
+        P_s = P_k + jnp.einsum("oij,ojk,olk->oil", C, P_next_s - P_pred, C)
+        return (x_s, P_s), (x_s, P_s)
+
+    (_, _), (xs_s, Ps_s) = jax.lax.scan(
+        backward, (xs[-1], Ps[-1]), (xs[:-1], Ps[:-1], dts[1:]),
+        reverse=True)
+    xs_s = jnp.concatenate([xs_s, xs[-1:]], axis=0)
+    Ps_s = jnp.concatenate([Ps_s, Ps[-1:]], axis=0)
+    return xs_s, Ps_s
+
+
+def _slerp(q0, q1, w):
+    """Batched SLERP with sign alignment; w broadcastable to (..., 1)."""
+    d = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(d < 0, -q1, q1)
+    d = jnp.clip(jnp.abs(d), 0.0, 1.0)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    small = sin_t < 1e-5
+    s0 = jnp.where(small, 1.0 - w, jnp.sin((1.0 - w) * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    s1 = jnp.where(small, w, jnp.sin(w * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    q = s0 * q0 + s1 * q1
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def _quat_gap_interp(quats, ok):
+    """Per-slot time interpolation of measured quaternions.
+
+    quats: (T, I, 4) raw measured orientations (garbage where ~ok);
+    ok: (T, I).  Each frame's orientation is the SLERP between its nearest
+    measured neighbours (clamped at the edges) — the acausal counterpart
+    of the live tracker's one-sided low-pass.
+    """
+    T = quats.shape[0]
+
+    # sequential sign alignment along time (q and -q are the same rotation)
+    def align(carry, inp):
+        q, okt = inp
+        s = jnp.sign(jnp.sum(q * carry, axis=-1, keepdims=True))
+        s = jnp.where(s == 0, 1.0, s)
+        q2 = jnp.where(okt[:, None], s * q, carry)
+        return q2, q2
+
+    q0 = quats[0]
+    _, qa = jax.lax.scan(align, q0, (quats, ok))
+
+    idx = jnp.arange(T)[:, None]                          # (T, 1)
+    prev = jax.lax.cummax(jnp.where(ok, idx, -1), axis=0)         # (T, I)
+    nxt = jax.lax.cummin(jnp.where(ok, idx, T), axis=0, reverse=True)
+    prev_c = jnp.clip(prev, 0, T - 1)
+    nxt_c = jnp.clip(nxt, 0, T - 1)
+    q_prev = jnp.take_along_axis(qa, prev_c[..., None], axis=0)
+    q_next = jnp.take_along_axis(qa, nxt_c[..., None], axis=0)
+    has_prev = prev >= 0
+    has_next = nxt <= T - 1
+    q_prev = jnp.where(has_prev[..., None], q_prev, q_next)
+    q_next = jnp.where(has_next[..., None], q_next, q_prev)
+    span = jnp.maximum((nxt_c - prev_c).astype(quats.dtype), 1.0)
+    w = jnp.where(has_prev & has_next,
+                  (idx - prev_c).astype(quats.dtype) / span, 0.0)
+    return _slerp(q_prev, q_next, w[..., None])
+
+
+def smooth_body_sequence(fit_t, fit_R, fit_rms, fit_valid, dts,
+                         max_bodies: int, *, process_noise: float = 1e-2,
+                         meas_noise: float = 1e-4, gate_m: float = 0.15,
+                         rms_max: float = 0.02, max_missed: int = 30,
+                         ) -> SmoothedBodies:
+    """Offline fixed-interval smoothing of 6-DoF body tracks.
+
+    fit_*: (T, F, ...) per-frame outputs of ``rigid_general.locate_bodies``
+    over a recording; dts: (T,).  Three passes, all jit/scan-compatible:
+
+    1. the causal tracker above associates fits to ``max_bodies`` track
+       slots (``max_missed`` defaults high — offline, coasting through a
+       long occlusion and re-associating beats spawning a new slot);
+    2. constant-velocity Kalman forward + RTS backward over the associated
+       positions — occlusion-gap frames carry smoothly interpolated
+       (not frozen or zeroed) states, like ``kalman.smooth_sequence``
+       does for drones;
+    3. quaternion SLERP between nearest measured orientations per frame.
+
+    ``valid`` marks frames within a track's [first, last] sighting — gap
+    frames in between are valid BY DESIGN (interpolation is the point).
+    """
+    def astep(st, inp):
+        ft, fR, frms, fv, dt = inp
+        st2, (_, meas) = update(st, ft, fR, frms, fv, dt,
+                                gate_m=gate_m, rms_max=rms_max,
+                                max_missed=max_missed, return_meas=True)
+        return st2, meas
+
+    _, (m_pos, m_quat, m_ok) = jax.lax.scan(
+        astep, init_state(max_bodies), (fit_t, fit_R, fit_rms,
+                                        fit_valid, dts))
+
+    m_pos = jnp.where(m_ok[..., None], m_pos, 0.0)
+    xs, Ps, inited = _cv_forward(m_pos, m_ok, dts, process_noise,
+                                 meas_noise)
+    xs_s, _ = _cv_rts(xs, Ps, dts, process_noise)
+    quat_s = _quat_gap_interp(m_quat, m_ok)
+
+    seen_fwd = inited                                   # first sighting on
+    seen_bwd = jnp.flip(jnp.cumsum(jnp.flip(m_ok, 0), axis=0), 0) > 0
+    valid = seen_fwd & seen_bwd
+    return SmoothedBodies(
+        pos=jnp.where(valid[..., None], xs_s[..., :3], 0.0),
+        vel=jnp.where(valid[..., None], xs_s[..., 3:], 0.0),
+        quat=quat_s,
+        valid=valid)
