@@ -43,10 +43,10 @@ def main():
     state, frames, dt, Ps, K, dist, M, Fs = args
     frames_np = np.asarray(frames)
 
-    from low_cost_mocap_tpu.control.bindings import detect_blobs
+    from low_cost_mocap_tpu.control.bindings import ingest_detect
     from low_cost_mocap_tpu.models.pipeline import (pack_outputs,
                                                     track_from_blobs)
-    from low_cost_mocap_tpu.ops.detect import pack_frames
+    from low_cost_mocap_tpu.ops.detect import threshold_cutoff
 
     C, H, W = frames_np.shape
     # tail kwargs come from the entry() partial so bench stays in sync
@@ -67,9 +67,11 @@ def main():
 
     step = jax.jit(functools.partial(tail, **tail_kw), donate_argnums=(0,))
 
+    cutoff = threshold_cutoff(float(threshold))
+
     def ingest():
-        bits = pack_frames(frames_np, threshold)
-        blobs, bvalid, _ = detect_blobs(bits, H, W, max_blobs)
+        # fused native threshold+pack+CC — ONE FFI crossing per frame set
+        blobs, bvalid, _ = ingest_detect(frames_np, cutoff, max_blobs)
         packed = np.empty((C, max_blobs, 3), np.float32)
         packed[..., :2] = blobs
         packed[..., 2] = bvalid
@@ -103,8 +105,12 @@ def main():
     # (models/pipeline.scan_track_from_blobs): amortises the per-dispatch
     # RPC floor so throughput approaches the ~48 us/frame device tail, at
     # B frames of latency.  Host detection still runs per frame (honest
-    # per-frame ingest cost).
-    B = 32
+    # per-frame ingest cost); batched throughput is host-ingest-bound on
+    # this 2-core host, so the fused native ingest path matters most here.
+    # (Measured on-chip: serial ingest beats a 2-worker thread pool —
+    # oversubscription against the jax client's own threads — and B=64
+    # with next-batch overlap beats B=32; see round-3 strategy sweep.)
+    B = 64
 
     def tail_scan(state, packed_b, dt, Ps, K, dist, M, Fs, **kw):
         def step(st, p):
@@ -116,20 +122,8 @@ def main():
     scan_step = jax.jit(functools.partial(tail_scan, **tail_kw),
                         donate_argnums=(0,))
 
-    # Host detection parallelised over cores (the native threshold+pack and
-    # CC-centroid calls release the GIL), and the NEXT batch's ingest
-    # overlaps the CURRENT batch's device program via async dispatch — the
-    # same overlap stream_recording uses (models/offline.py).
-    from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(2)
-
-    def _ingest_n(n):
-        return [ingest() for _ in range(n)]
-
     def ingest_b():
-        f1 = pool.submit(_ingest_n, B // 2)
-        f2 = pool.submit(_ingest_n, B - B // 2)
-        return np.stack(f1.result() + f2.result())
+        return np.stack([ingest() for _ in range(B)])
 
     bstate, bout = scan_step(state, ingest_b(), dt, Ps, K, dist, M, Fs)
     jax.block_until_ready(bout)

@@ -92,6 +92,11 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float)]
+    lib.lcm_ingest_detect_multi.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_uint8, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -275,6 +280,34 @@ def detect_blobs(packed: np.ndarray, height: int, width: int,
             cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return cent, valid.astype(bool), sizes
+
+
+def ingest_detect(frames_u8: np.ndarray, cutoff: int, max_blobs: int,
+                  weighted: bool = False):
+    """Fused threshold+pack+CC-centroid detection, ONE FFI crossing.
+
+    frames_u8: (C, H, W) uint8, W % 8 == 0; ``cutoff`` from
+    ``ops.detect.threshold_cutoff`` (bit-identical to the device
+    thresholding).  Returns (centroids (C, K, 2) f32 xy, valid (C, K)
+    bool, sizes (C, K)) — identical to ``pack_bits`` + ``detect_blobs``,
+    at roughly half the per-frame-set host cost (no Python-visible
+    bitmap, no second crossing; the live host-detect hot path).
+    """
+    assert frames_u8.dtype == np.uint8 and frames_u8.shape[-1] % 8 == 0
+    flat = np.ascontiguousarray(frames_u8).reshape(-1)
+    C, H, W = frames_u8.shape
+    cent = np.zeros((C, max_blobs, 2), np.float32)
+    valid = np.zeros((C, max_blobs), np.uint8)
+    sizes = np.zeros((C, max_blobs), np.float32)
+    if cutoff > 255:        # threshold above every uint8 value: no blobs
+        return cent, valid.astype(bool), sizes
+    get_lib().lcm_ingest_detect_multi(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), C, H, W,
+        np.uint8(cutoff), max_blobs, int(weighted),
+        cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return cent, valid.astype(bool), sizes
 
 

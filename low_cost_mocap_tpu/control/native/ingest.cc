@@ -17,6 +17,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -35,6 +38,35 @@ struct RevTable {
 };
 constexpr RevTable kRev;
 
+#if defined(__x86_64__)
+// 32 pixels/iteration for AVX2 hosts (runtime-dispatched — the .so stays
+// baseline-buildable; the function itself carries the target attribute).
+__attribute__((target("avx2"))) void pack_bits_avx2(const uint8_t* in,
+                                                    int64_t n_pixels,
+                                                    uint8_t cutoff,
+                                                    uint8_t* out) {
+  const __m256i vcut = _mm256_set1_epi8(static_cast<char>(cutoff));
+  int64_t i = 0;
+  for (; i + 32 <= n_pixels; i += 32) {
+    const __m256i x =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(in + i));
+    const __m256i ge = _mm256_cmpeq_epi8(_mm256_max_epu8(x, vcut), x);
+    const uint32_t mask =
+        static_cast<uint32_t>(_mm256_movemask_epi8(ge));
+    out[i / 8] = kRev.v[mask & 0xFF];
+    out[i / 8 + 1] = kRev.v[(mask >> 8) & 0xFF];
+    out[i / 8 + 2] = kRev.v[(mask >> 16) & 0xFF];
+    out[i / 8 + 3] = kRev.v[(mask >> 24) & 0xFF];
+  }
+  for (; i < n_pixels; i += 8) {
+    uint8_t b = 0;
+    for (int j = 0; j < 8; ++j)
+      b = static_cast<uint8_t>((b << 1) | (in[i + j] >= cutoff ? 1 : 0));
+    out[i / 8] = b;
+  }
+}
+#endif
+
 }  // namespace
 
 extern "C" {
@@ -42,6 +74,13 @@ extern "C" {
 // in: n_pixels uint8 values (n_pixels % 8 == 0); out: n_pixels/8 bytes.
 void lcm_pack_bits(const uint8_t* in, int64_t n_pixels, uint8_t cutoff,
                    uint8_t* out) {
+#if defined(__x86_64__)
+  static const bool kHasAvx2 = __builtin_cpu_supports("avx2");
+  if (kHasAvx2) {
+    pack_bits_avx2(in, n_pixels, cutoff, out);
+    return;
+  }
+#endif
   int64_t i = 0;
 #if defined(__SSE2__)
   const __m128i vcut = _mm_set1_epi8(static_cast<char>(cutoff));

@@ -89,6 +89,17 @@ def preprocess(frames, blur_ksize: int = 9, sigma: float = 0.0):
     return jnp.clip(out, 0.0, 1.0)
 
 
+@functools.lru_cache(maxsize=64)
+def threshold_cutoff(threshold: float) -> int:
+    """Smallest uint8 pixel value passing the device float32 threshold
+    test (``v * f32(1/255) > f32(threshold)``), or 256 when none does.
+    Cached — recomputing the 256-entry table cost ~14 us per frame on the
+    host ingest hot path."""
+    passes = (np.arange(256, dtype=np.float32)
+              * np.float32(1.0 / 255.0)) > np.float32(threshold)
+    return int(np.argmax(passes)) if passes.any() else 256
+
+
 def pack_frames(frames_u8: np.ndarray, threshold: float) -> np.ndarray:
     """Host-side threshold + bit-pack of (C, H, W) uint8 frames.
 
@@ -109,12 +120,10 @@ def pack_frames(frames_u8: np.ndarray, threshold: float) -> np.ndarray:
         raise TypeError(
             f"pack_frames expects uint8 frames, got {frames_u8.dtype}; "
             "convert with (frames * 255).astype(np.uint8)")
-    passes = (np.arange(256, dtype=np.float32)
-              * np.float32(1.0 / 255.0)) > np.float32(threshold)
-    if not passes.any():
+    cutoff = threshold_cutoff(float(threshold))
+    if cutoff > 255:
         return np.zeros(frames_u8.shape[:-1] + (frames_u8.shape[-1] // 8,),
                         np.uint8)
-    cutoff = int(np.argmax(passes))  # smallest uint8 value that passes
     if frames_u8.shape[-1] % 8 == 0:
         try:
             from low_cost_mocap_tpu.control.bindings import pack_bits

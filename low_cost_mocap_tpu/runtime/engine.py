@@ -590,14 +590,13 @@ class Engine:
         c, rows, cols = cap["camera"], cap["rows"], cap["cols"]
         n = rows * cols
         try:
-            from low_cost_mocap_tpu.control.bindings import detect_blobs
-            from low_cost_mocap_tpu.ops.detect import pack_frames
+            from low_cost_mocap_tpu.control.bindings import ingest_detect
+            from low_cost_mocap_tpu.ops.detect import threshold_cutoff
 
             f = np.ascontiguousarray(frames[c:c + 1])
-            bits = pack_frames(f, self.cfg.detect_threshold)
-            blobs, valid, _ = detect_blobs(
-                bits, f.shape[1], f.shape[2], n + 8,
-                gray=f if self.cfg.weighted_centroids else None)
+            blobs, valid, _ = ingest_detect(
+                f, threshold_cutoff(self.cfg.detect_threshold), n + 8,
+                weighted=self.cfg.weighted_centroids)
         except Exception as e:
             self._intrinsics_capture = None
             self.emit("camera-intrinsics",
@@ -932,13 +931,14 @@ class Engine:
             mesh_payload = jax.device_put(
                 payload, NamedSharding(self._mesh, P("cam")))
         elif self._host_detect:
-            from low_cost_mocap_tpu.control.bindings import detect_blobs
-            from low_cost_mocap_tpu.ops.detect import pack_frames
+            from low_cost_mocap_tpu.control.bindings import ingest_detect
+            from low_cost_mocap_tpu.ops.detect import threshold_cutoff
 
-            bits = pack_frames(frames, self.cfg.detect_threshold)
-            blobs, bvalid, _ = detect_blobs(
-                bits, frames.shape[1], frames.shape[2], self.cfg.max_blobs,
-                gray=frames if self.cfg.weighted_centroids else None)
+            # fused native threshold+pack+CC (ONE FFI crossing; bit-
+            # identical to the split pack_bits + detect_blobs path)
+            blobs, bvalid, _ = ingest_detect(
+                frames, threshold_cutoff(self.cfg.detect_threshold),
+                self.cfg.max_blobs, weighted=self.cfg.weighted_centroids)
             blob_args = (blobs, bvalid)
         elif self._fast:
             idx, ok, packed = sparse_ingest(
