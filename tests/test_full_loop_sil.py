@@ -108,3 +108,84 @@ def test_simulated_rig_source_renders_markers():
     frames = src.read()
     assert frames.shape == (2, rig.image_size, rig.image_size)
     assert (frames > 50).sum() > 10   # LEDs visible
+
+
+@pytest.mark.slow
+def test_failure_injection_frozen_camera_and_blob_dropout():
+    """Fly to hover, then freeze one camera's transport mid-flight: the
+    health monitor must mask it, tracking + altitude hold must continue
+    within bounds on the remaining views, and the camera must re-admit
+    when its stream recovers.  A blob-dropout burst (all frames dark for
+    a few frames) must coast through the Kalman bank without destabilising
+    the hover.  The reference's ONLY failsafe is the firmware disarm
+    timeout (``receiver_esp32/receiver_esp32.ino:213-215``) — camera
+    dropout crashes or corrupts it silently (SURVEY.md §5).
+    """
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    link = LoopbackLink(1)
+    link.sims[0].set_state([0.2, -0.1, 0.07])
+    source = SimulatedRigSource(rig, Rs, ts, link)
+    eng = Engine(rig, EngineConfig(), source, link)
+    health_events = []
+    eng.on("camera-health", health_events.append)
+
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    eng.handle("set-drone-pid", {"droneIndex": 0, "dronePID": pid})
+    target = [0.0, 0.0, 0.5]
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": target})
+
+    fps = 60.0
+    n_frames = int(45 * fps)
+    freeze = range(int(18 * fps), int(26 * fps))     # 8 s transport freeze
+    dropout = range(int(32 * fps), int(32 * fps) + 5)  # 5-frame blob burst
+    stale = None
+    hover_err = []
+    tracked_in_freeze = 0
+    for f in range(n_frames):
+        frames = np.array(source.read())
+        if f in freeze:
+            if stale is None:
+                stale = frames[0].copy()
+            frames[0] = stale                        # camera 0 wedged
+        else:
+            stale = None
+        if f in dropout:
+            frames[:] = 0                            # no blobs anywhere
+        out = eng.process_frame(frames, 1.0 / fps)
+        if f in freeze and out is not None \
+                and bool(np.asarray(out.tracked.valid).any()):
+            tracked_in_freeze += 1
+        if f >= int(10 * fps):
+            pos, _, _ = link.drone_state(0)
+            hover_err.append(np.linalg.norm(pos - np.asarray(target)))
+        for _ in range(5):
+            link.tick(1.0 / fps / 5)
+        if f % 30 == 0:
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+
+    # the freeze was detected and the camera re-admitted on recovery
+    frozen_ev = [e for e in health_events
+                 if e["camera"] == 0 and e["status"] == "frozen"]
+    ok_ev = [e for e in health_events
+             if e["camera"] == 0 and e["status"] == "ok"]
+    assert frozen_ev, f"freeze never detected: {health_events}"
+    assert ok_ev, f"camera never re-admitted: {health_events}"
+    assert not eng.health.frozen_mask.any()
+
+    # tracking survived the freeze on the remaining 3 views
+    assert tracked_in_freeze > len(freeze) * 0.8, tracked_in_freeze
+
+    # the hover held through freeze AND dropout burst
+    hover_err = np.asarray(hover_err)
+    assert hover_err.max() < 0.15, hover_err.max()
+    pos, vel, _ = link.drone_state(0)
+    assert np.linalg.norm(pos - np.asarray(target)) < 0.05, pos
+    assert np.linalg.norm(vel) < 0.1, vel
