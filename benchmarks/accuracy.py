@@ -1,10 +1,17 @@
-"""Reconstruction + tracking accuracy on the synthetic 4-camera rig.
+"""Reconstruction + tracking accuracy on synthetic rigs (4 and 16 cameras).
 
 Reproduces the accuracy numbers cited in README.md / benchmarks/SCALING.md
-in one run: raw triangulated-marker error, causal tracked-drone ATE with
-the reference's statePre reporting ("pre"), with posterior reporting
-("post"), and the offline RTS-smoothed ATE — plus the raw-marker error
-with intensity-weighted sub-pixel centroids.
+in one run:
+
+- 4-camera rig (the reference's geometry, exact hypothesis-enumeration
+  matcher): raw triangulated-marker error, causal tracked-drone ATE with
+  the reference's statePre reporting ("pre"), with posterior reporting
+  ("post"), the offline RTS-smoothed ATE, and the raw-marker error with
+  intensity-weighted sub-pixel centroids;
+- 16-camera rig, SAME drone trajectory, large-rig ``assoc`` matcher
+  (``ops/correspond.py`` picks it automatically for >5 cameras): raw
+  marker error + tracked/smoothed ATE — the proof that the constant-depth
+  fast path costs no accuracy vs the exact matcher on this scene.
 
 Ground truth is exact (synthetic rig, known drone poses); the drone orbits
 at ~0.3 m/s at 60 fps, a realistic indoor speed.  Runs on CPU or TPU
@@ -23,97 +30,123 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(T: int = 600):
+def drone_pos(t, dt):
+    return np.array([0.3 * np.cos(t * dt), 0.3 * np.sin(t * dt), 0.6],
+                    np.float32)
+
+
+def render_scene(Rs, ts, rig, T, dt):
     import jax.numpy as jnp
 
-    from low_cost_mocap_tpu.config import EngineConfig
-    from low_cost_mocap_tpu.models import offline
-    from low_cost_mocap_tpu.ops import camera as cam_ops
     from low_cost_mocap_tpu.ops import world as world_ops
-    from low_cost_mocap_tpu.utils import metrics
     from low_cost_mocap_tpu.utils import synthetic as syn
-
-    Rs, ts, rig = syn.ring_rig(num_cameras=4)
-    dt = 1.0 / 60.0
-
-    def drone_pos(t):
-        return np.array([0.3 * np.cos(t * dt), 0.3 * np.sin(t * dt), 0.6],
-                        np.float32)
 
     frames, centres_w, markers_w = [], [], []
     for t in range(T):
-        X = syn.drone_markers(drone_pos(t), 0.0, rig)
+        X = syn.drone_markers(drone_pos(t, dt), 0.0, rig)
         pts, mask = syn.observe(X, Rs, ts, rig)
         frames.append(syn.render_frames(pts, mask, rig.image_size,
                                         sigma=0.8))
         w = np.asarray(world_ops.to_world(jnp.asarray(X), jnp.eye(4)))
         markers_w.append(w)
         centres_w.append((w[0] + w[1]) / 2)
-    frames_u8 = (np.stack(frames) * 255).astype(np.uint8)
-    centres_w = np.stack(centres_w)
-    markers_w = np.stack(markers_w)
+    return ((np.stack(frames) * 255).astype(np.uint8),
+            np.stack(centres_w), np.stack(markers_w))
 
-    K = jnp.asarray(rig.K_stack())
-    dist = jnp.asarray(rig.dist_stack())
-    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
-    M = jnp.eye(4, dtype=jnp.float32)
+
+def marker_err(res, markers_w):
+    """Mean nearest-marker 3D error over valid reconstructed points."""
+    es = []
+    pv = np.asarray(res.point_valid)
+    pw = np.asarray(res.object_points)
+    for t in range(len(pv)):
+        got = pw[t][pv[t]]
+        if len(got):
+            d = np.linalg.norm(got[:, None] - markers_w[t][None],
+                               axis=-1).min(axis=1)
+            es.append(d.mean())
+    return float(np.mean(es))
+
+
+def tracked_ate(pos, valid, centres_w):
+    from low_cost_mocap_tpu.utils import metrics
+
+    d = int(np.argmax(np.asarray(valid).sum(axis=0)))
+    v = np.asarray(valid)[10:, d]
+    return metrics.ate(np.asarray(pos)[10:, d], centres_w[10:],
+                       valid=v)["rmse"]
+
+
+def main(T: int = 600):
+    import jax.numpy as jnp
+
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.models import offline
+    from low_cost_mocap_tpu.ops import camera as cam_ops
+    from low_cost_mocap_tpu.utils import synthetic as syn
+
+    dt = 1.0 / 60.0
     dts = jnp.full((T,), dt)
-
-    def marker_err(res):
-        """Mean nearest-marker 3D error over valid reconstructed points."""
-        es = []
-        pv = np.asarray(res.point_valid)
-        pw = np.asarray(res.object_points)
-        for t in range(T):
-            got = pw[t][pv[t]]
-            if len(got):
-                d = np.linalg.norm(got[:, None] - markers_w[t][None],
-                                   axis=-1).min(axis=1)
-                es.append(d.mean())
-        return float(np.mean(es))
-
-    def tracked_ate(pos, valid):
-        d = int(np.argmax(np.asarray(valid).sum(axis=0)))
-        v = np.asarray(valid)[10:, d]
-        return metrics.ate(np.asarray(pos)[10:, d], centres_w[10:],
-                           valid=v)["rmse"]
-
+    M = jnp.eye(4, dtype=jnp.float32)
     cfg = EngineConfig()
-    blobs, valid = offline.detect_recording_host(
-        frames_u8, cfg.detect_threshold, cfg.max_blobs)
-    res = offline.process_recording(
-        (jnp.asarray(blobs), jnp.asarray(valid)), Ps, K, dist, M,
-        rig, cfg, dts=dts, smooth=True)
-    res_post = offline.process_recording(
-        (jnp.asarray(blobs), jnp.asarray(valid)), Ps, K, dist, M,
-        rig, EngineConfig(kalman_report="post"), dts=dts)
+
+    def run(rig, Rs, ts, frames_u8, cfg_run, smooth=False, weighted=False):
+        K = jnp.asarray(rig.K_stack())
+        dist = jnp.asarray(rig.dist_stack())
+        Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+        blobs, valid = offline.detect_recording_host(
+            frames_u8, cfg_run.detect_threshold, cfg_run.max_blobs,
+            weighted=weighted)
+        return offline.process_recording(
+            (jnp.asarray(blobs), jnp.asarray(valid)), Ps, K, dist, M,
+            rig, cfg_run, dts=dts, smooth=smooth)
+
+    # ---- 4-camera rig (reference geometry, exact matcher) ----
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    frames_u8, centres_w, markers_w = render_scene(Rs, ts, rig, T, dt)
+    res = run(rig, Rs, ts, frames_u8, cfg, smooth=True)
+    res_post = run(rig, Rs, ts, frames_u8,
+                   EngineConfig(kalman_report="post"))
+    resw = run(rig, Rs, ts, frames_u8,
+               EngineConfig(weighted_centroids=True), weighted=True)
 
     rows = [
-        ("raw markers [binary centroids]", marker_err(res) * 1000,
-         "mm mean"),
+        ("raw markers [binary centroids]",
+         marker_err(res, markers_w) * 1000, "mm mean"),
         ("tracked ATE [kalman_report=pre, reference parity]",
-         tracked_ate(res.tracked.pos, res.tracked.valid) * 1000,
+         tracked_ate(res.tracked.pos, res.tracked.valid, centres_w) * 1000,
          "mm rmse"),
         ("tracked ATE [kalman_report=post]",
-         tracked_ate(res_post.tracked.pos, res_post.tracked.valid) * 1000,
-         "mm rmse"),
+         tracked_ate(res_post.tracked.pos, res_post.tracked.valid,
+                     centres_w) * 1000, "mm rmse"),
         ("smoothed ATE [offline RTS]",
-         tracked_ate(res.smoothed.pos, res.smoothed.valid) * 1000,
-         "mm rmse"),
+         tracked_ate(res.smoothed.pos, res.smoothed.valid,
+                     centres_w) * 1000, "mm rmse"),
+        ("raw markers [weighted sub-pixel centroids]",
+         marker_err(resw, markers_w) * 1000, "mm mean"),
     ]
-
-    # weighted sub-pixel centroids (host-detect path option)
-    cfgw = EngineConfig(weighted_centroids=True)
-    blobs, valid = offline.detect_recording_host(
-        frames_u8, cfgw.detect_threshold, cfgw.max_blobs, weighted=True)
-    resw = offline.process_recording(
-        (jnp.asarray(blobs), jnp.asarray(valid)), Ps, K, dist, M, rig,
-        cfgw, dts=dts)
-    rows.append(("raw markers [weighted sub-pixel centroids]",
-                 marker_err(resw) * 1000, "mm mean"))
-
-    print(f"accuracy (synthetic 4-cam rig, T={T} @60fps, 0.3 m/s orbit):")
+    print(f"accuracy (synthetic 4-cam rig, T={T} @60fps, 0.3 m/s orbit, "
+          "exact matcher):")
     for name, val, unit in rows:
+        print(f"  {name:55s} {val:7.3f} {unit}")
+
+    # ---- 16-camera rig, SAME trajectory (large-rig assoc matcher) ----
+    Rs16, ts16, rig16 = syn.ring_rig(num_cameras=16)
+    frames16, centres16, markers16 = render_scene(Rs16, ts16, rig16, T, dt)
+    res16 = run(rig16, Rs16, ts16, frames16, cfg, smooth=True)
+    rows16 = [
+        ("raw markers [binary centroids]",
+         marker_err(res16, markers16) * 1000, "mm mean"),
+        ("tracked ATE [kalman_report=pre]",
+         tracked_ate(res16.tracked.pos, res16.tracked.valid,
+                     centres16) * 1000, "mm rmse"),
+        ("smoothed ATE [offline RTS]",
+         tracked_ate(res16.smoothed.pos, res16.smoothed.valid,
+                     centres16) * 1000, "mm rmse"),
+    ]
+    print(f"accuracy (synthetic 16-cam rig, T={T} @60fps, same orbit, "
+          "assoc matcher):")
+    for name, val, unit in rows16:
         print(f"  {name:55s} {val:7.3f} {unit}")
 
 

@@ -7,6 +7,7 @@
 5. 16-camera / 8-drone synthetic rig with mesh-distributed BA.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,6 +135,7 @@ def test_config4_two_drone_disambiguation():
     assert d01.min() > 0.5
 
 
+@pytest.mark.slow
 def test_config5_sixteen_camera_distributed_ba():
     from low_cost_mocap_tpu.parallel import mesh as mesh_lib
     from low_cost_mocap_tpu.parallel.schur_ba import schur_bundle_adjust

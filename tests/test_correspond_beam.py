@@ -1,6 +1,7 @@
 """Beam-search correspondence: agreement with exact mode + large-rig scaling."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from low_cost_mocap_tpu.ops import camera, correspond
@@ -8,6 +9,7 @@ from low_cost_mocap_tpu.utils import synthetic as syn
 from tests.test_correspond import _setup, _to_slots
 
 
+@pytest.mark.slow
 def test_beam_matches_exact_small_rig():
     X, pts, mask, Ps = _setup(n_pts=4, seed=11, noise=0.5)
     slots, ok = _to_slots(pts, mask)

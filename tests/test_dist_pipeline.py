@@ -1,5 +1,6 @@
 """Camera-sharded live step (parallel/dist_pipeline.py) on a virtual mesh."""
 
+import pytest
 import functools
 
 import numpy as np
@@ -15,6 +16,7 @@ from low_cost_mocap_tpu.parallel.dist_pipeline import dist_frame_step
 from low_cost_mocap_tpu.utils import synthetic as syn
 
 
+@pytest.mark.slow
 def test_cam_sharded_step_matches_single_device():
     Rs, ts, rig = syn.ring_rig(num_cameras=8)
     cfg = EngineConfig()

@@ -52,6 +52,7 @@ def test_config_roundtrip_with_body_sets(tmp_path):
     assert rig2.total_body_slots() == 3
 
 
+@pytest.mark.slow
 def test_two_templates_located_and_tracked():
     """Both templates present in one scene: each set's slots lock onto the
     right constellation, and the per-frame fits carry the right poses."""

@@ -1,6 +1,7 @@
 """Multi-rig batched serving: R capture volumes in one compiled step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def _rig_inputs(seed):
     return rig, slots, ok, Ps, K, dist, _pairwise_fundamentals(Ps)
 
 
+@pytest.mark.slow
 def test_batched_equals_per_rig():
     R = 3
     per = [_rig_inputs(s) for s in range(R)]

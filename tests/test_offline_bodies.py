@@ -8,6 +8,7 @@ its hardcoded drone triple, ``computer_code/api/helpers.py:424-480``.)
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_offline_recording_tracks_body_pose():
     assert tt_err < 0.02, tt_err
 
 
+@pytest.mark.slow
 def test_learn_template_from_capture():
     """Auto-derive the marker template from a recording (mocap 'create
     rigid body' workflow), then track with it."""

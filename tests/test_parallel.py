@@ -1,5 +1,6 @@
 """Distribution tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def test_make_mesh_shapes():
         mesh_lib.make_mesh({"point": 3})
 
 
+@pytest.mark.slow
 def test_dist_ba_matches_single_device():
     X, pts, mask, Rs, ts, rig = _scene()
     rng = np.random.default_rng(4)

@@ -121,6 +121,7 @@ def test_reference_mode_ba_runs():
     assert np.isfinite(float(res.cost))
 
 
+@pytest.mark.slow
 def test_offline_sparse_mode_matches_dense():
     """process_recording(sparse=True) must equal the raw-frames path."""
     import jax.numpy as jnp

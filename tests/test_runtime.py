@@ -101,6 +101,7 @@ def test_set_drone_commands_forward_to_link(engine):
     assert any(b'"trim"' in f and f.startswith(b"1") for f in link.frames)
 
 
+@pytest.mark.slow
 def test_calibration_through_event_surface(scene):
     """Full operator workflow: capture wand points -> calculate-camera-pose."""
     Rs, ts, rig, cfg = scene
@@ -165,6 +166,7 @@ def test_artifacts_roundtrip(tmp_path, scene):
     assert abs(back.mean_reprojection_error - 0.12) < 1e-9
 
 
+@pytest.mark.slow
 def test_live_body_tracking_agrees_with_triple_locator(scene):
     # configure the drone's own LED triple as a generalized body template
     # (body-frame origin at the arm midpoint, so the 6-DoF t must agree
@@ -208,6 +210,7 @@ def test_live_body_tracking_agrees_with_triple_locator(scene):
     assert np.abs(Rt @ Rt.T - np.eye(3)).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_learn_body_template_live(scene):
     """'Create rigid body from capture' over the live event surface: learn
     the drone's own LED triple from triangulated frames, apply it, and the
@@ -245,6 +248,7 @@ def test_learn_body_template_live(scene):
     assert len(last["tracked_bodies"]) == 1
 
 
+@pytest.mark.slow
 def test_refine_camera_pose_live(scene):
     """Live recalibration: a slightly-off calibration is refined from the
     matcher's correspondence-resolved observations WHILE tracking runs,
@@ -304,6 +308,7 @@ def test_refine_camera_pose_live(scene):
     assert after < 0.3  # sub-pixel after refinement
 
 
+@pytest.mark.slow
 def test_capture_profile_emits_trace(engine, tmp_path):
     """capture-profile records a TensorBoard-loadable jax.profiler trace
     while the loop runs and emits its path (SURVEY.md §5 observability)."""

@@ -1,6 +1,7 @@
 """Schur-complement BA + temporal sharding on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,12 +111,11 @@ def test_smooth_sharded_matches_sequential():
     assert err.max() < 1e-4, err.max()
 
 
+@pytest.mark.slow
 def test_process_sequence_from_host_blobs():
     """Time-sharded vision over HOST-DETECTED blobs (the production
     offline fast path): pytree (blobs, valid) input shards over the time
     axis with zero collectives, results match the unsharded run."""
-    import pytest
-
     from low_cost_mocap_tpu.ops import camera, correspond
 
     try:

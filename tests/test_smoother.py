@@ -5,6 +5,7 @@ the tracked ATE); offline, the backward Rauch-Tung-Striebel pass removes
 it.  Golden-checked against a straightforward numpy RTS implementation.
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,6 +139,7 @@ def test_rts_assoc_matches_sequential():
     np.testing.assert_allclose(np.asarray(a_P), np.asarray(b_P), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rts_assoc_time_sharded():
     """The parallel smoother runs with its (T, ...) inputs sharded over a
     'time' mesh axis — the log-depth combine tree partitions across
