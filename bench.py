@@ -43,7 +43,7 @@ def main():
     state, frames, dt, Ps, K, dist, M, Fs = args
     frames_np = np.asarray(frames)
 
-    from low_cost_mocap_tpu.control.bindings import ingest_detect
+    from low_cost_mocap_tpu.control.bindings import ingest_detect_packed
     from low_cost_mocap_tpu.models.pipeline import (pack_outputs,
                                                     track_from_blobs)
     from low_cost_mocap_tpu.ops.detect import threshold_cutoff
@@ -70,16 +70,14 @@ def main():
     cutoff = threshold_cutoff(float(threshold))
 
     def ingest():
-        # fused native threshold+pack+CC — ONE FFI crossing per frame set
-        blobs, bvalid, _ = ingest_detect(frames_np, cutoff, max_blobs)
-        packed = np.empty((C, max_blobs, 3), np.float32)
-        packed[..., :2] = blobs
-        packed[..., 2] = bvalid
-        # host numpy goes STRAIGHT into the jitted call: the transfer rides
-        # the dispatch RPC.  A separate device_put costs a whole extra
-        # round trip through the tunnel (~315 us, measured) for a
-        # 384-byte payload.
-        return packed
+        # fused native threshold+pack+CC straight into the (C, K, 3)
+        # device-upload layout — ONE FFI crossing per frame set, no
+        # Python-side packing (control/native/detect.cc
+        # lcm_ingest_detect_packed).  The host numpy result goes STRAIGHT
+        # into the jitted call: the transfer rides the dispatch RPC.  A
+        # separate device_put costs a whole extra round trip through the
+        # tunnel (~315 us, measured) for a 384-byte payload.
+        return ingest_detect_packed(frames_np, cutoff, max_blobs)
 
     state, out = step(state, ingest(), dt, Ps, K, dist, M, Fs)
     jax.block_until_ready(out)
@@ -101,29 +99,41 @@ def main():
     fps = n_iters / best
 
     # ---- batched-dispatch serving mode (EngineConfig.dispatch_batch) ----
-    # ONE lax.scan program per B frames, tracker state carried on device
-    # (models/pipeline.scan_track_from_blobs): amortises the per-dispatch
-    # RPC floor so throughput approaches the ~48 us/frame device tail, at
-    # B frames of latency.  Host detection still runs per frame (honest
-    # per-frame ingest cost); batched throughput is host-ingest-bound on
-    # this 2-core host, so the fused native ingest path matters most here.
-    # (Measured on-chip: serial ingest beats a 2-worker thread pool —
-    # oversubscription against the jax client's own threads — and B=64
-    # with next-batch overlap beats B=32; see round-3 strategy sweep.)
-    B = 64
+    # ONE XLA program per B frames (models/pipeline.scan_track_from_blobs):
+    # the frame-independent geometry (undistort -> match -> DLT -> rigid
+    # fit) runs vmapped over the whole batch as large batched ops; only
+    # the tiny Kalman bank update rides a lax.scan.  One dispatch + one
+    # packed (B, L) readback amortises the ~250 us RPC floor, at B frames
+    # of latency.  Host detection still runs per frame (honest per-frame
+    # ingest cost) via the packed native entry — straight into the batch
+    # buffer, no Python-side packing.  (Measured on-chip round 3: the
+    # vmap+scan split beats a scan of whole per-frame steps 1.6x; B=128
+    # beats 64; serial ingest beats a 2-worker pool on this 2-core host.)
+    B = 128
+
+    from low_cost_mocap_tpu.models.pipeline import scan_track_from_blobs
 
     def tail_scan(state, packed_b, dt, Ps, K, dist, M, Fs, **kw):
-        def step(st, p):
-            st2, out = track_from_blobs(st, p[..., :2], p[..., 2] > 0.5,
-                                        dt, Ps, K, dist, M, Fs, **kw)
-            return st2, pack_outputs(out)
-        return jax.lax.scan(step, state, packed_b)
+        # the production batched step (frame-parallel geometry vmapped
+        # over B, only the Kalman bank scanned — see
+        # models/pipeline.scan_track_from_blobs)
+        dts = jnp.broadcast_to(jnp.asarray(dt), (packed_b.shape[0],))
+        return scan_track_from_blobs(
+            state, packed_b[..., :2], packed_b[..., 2] > 0.5, dts,
+            Ps, K, dist, M, Fs, **kw)
 
     scan_step = jax.jit(functools.partial(tail_scan, **tail_kw),
                         donate_argnums=(0,))
 
     def ingest_b():
-        return np.stack([ingest() for _ in range(B)])
+        # one frame-set-sized native call per frame (matching the engine,
+        # where frame sets arrive one at a time), written straight into a
+        # fresh (B, C, K, 3) batch buffer — no np.stack, no per-frame
+        # Python packing
+        out = np.empty((B, C, max_blobs, 3), np.float32)
+        for i in range(B):
+            ingest_detect_packed(frames_np, cutoff, max_blobs, out=out[i])
+        return out
 
     bstate, bout = scan_step(state, ingest_b(), dt, Ps, K, dist, M, Fs)
     jax.block_until_ready(bout)

@@ -97,6 +97,10 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_uint8, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float)]
+    lib.lcm_ingest_detect_packed.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_uint8, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     return lib
 
 
@@ -309,6 +313,41 @@ def ingest_detect(frames_u8: np.ndarray, cutoff: int, max_blobs: int,
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return cent, valid.astype(bool), sizes
+
+
+def ingest_detect_packed(frames_u8: np.ndarray, cutoff: int,
+                         max_blobs: int, weighted: bool = False,
+                         out: np.ndarray | None = None) -> np.ndarray:
+    """Fused detection straight into the device-upload layout.
+
+    frames_u8: (..., H, W) uint8, any number of leading dims (a single
+    frame set is (C, H, W); a dispatch batch is (B, C, H, W)).  Returns
+    (..., max_blobs, 3) float32 with slot = [x, y, valid] — exactly the
+    packed centroid tensor the jitted step consumes (pipeline
+    ``track_from_blobs(packed[..., :2], packed[..., 2] > 0.5)``).  ONE
+    FFI crossing for the whole batch: no per-frame Python loop, no
+    intermediate (cent, valid, sizes) triple, no np.stack.  ``out``
+    reuses a caller-owned C-contiguous buffer of the right shape/dtype
+    (double-buffer it if the previous batch may still be in flight).
+    """
+    assert frames_u8.dtype == np.uint8 and frames_u8.shape[-1] % 8 == 0
+    lead, (H, W) = frames_u8.shape[:-2], frames_u8.shape[-2:]
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    shape = (*lead, max_blobs, 3)
+    if out is None:
+        out = np.empty(shape, np.float32)
+    else:
+        assert (out.shape == shape and out.dtype == np.float32
+                and out.flags.c_contiguous)
+    if cutoff > 255:        # threshold above every uint8 value: no blobs
+        out[:] = 0.0
+        return out
+    flat = np.ascontiguousarray(frames_u8).reshape(-1)
+    get_lib().lcm_ingest_detect_packed(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, H, W,
+        np.uint8(cutoff), max_blobs, int(weighted),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 def extract_bits(packed: np.ndarray, max_out: int) -> tuple[np.ndarray, int]:

@@ -395,4 +395,35 @@ void lcm_ingest_detect_multi(const uint8_t* frames, int32_t n_cams,
                       valid + c * max_blobs, sizes + c * max_blobs);
 }
 
+// Fused ingest straight into the device-upload layout: out is
+// (n_frames, max_blobs, 3) float32, slot = [x, y, valid] — exactly the
+// packed centroid tensor the jitted step consumes (models/pipeline
+// track_from_blobs takes packed[..., :2] / packed[..., 2] > 0.5).  One
+// call covers an arbitrary run of frames (a dispatch_batch worth of
+// frame sets is n_frames = B * C), eliminating the per-frame Python
+// packing loop + np.stack that dominated batched-dispatch host cost.
+void lcm_ingest_detect_packed(const uint8_t* frames, int32_t n_frames,
+                              int32_t H, int32_t W, uint8_t cutoff,
+                              int32_t max_blobs, int32_t weighted,
+                              float* out) {
+  static thread_local std::vector<float> cent, siz;
+  static thread_local std::vector<uint8_t> val;
+  if (static_cast<int32_t>(val.size()) < max_blobs) {
+    cent.resize(2 * static_cast<size_t>(max_blobs));
+    siz.resize(static_cast<size_t>(max_blobs));
+    val.resize(static_cast<size_t>(max_blobs));
+  }
+  const int64_t fstride = static_cast<int64_t>(H) * W;
+  for (int32_t c = 0; c < n_frames; ++c) {
+    ingest_detect_cam(frames + c * fstride, H, W, cutoff, max_blobs,
+                      weighted != 0, cent.data(), val.data(), siz.data());
+    float* o = out + static_cast<int64_t>(c) * 3 * max_blobs;
+    for (int32_t k = 0; k < max_blobs; ++k) {
+      o[3 * k] = cent[2 * k];
+      o[3 * k + 1] = cent[2 * k + 1];
+      o[3 * k + 2] = val[k] ? 1.0f : 0.0f;
+    }
+  }
+}
+
 }  // extern "C"

@@ -300,12 +300,22 @@ def scan_track_from_blobs(state, blobs_b, blob_valid_b, dts, Ps, K, dist,
     A per-frame dispatch through a remote/tunneled device link costs a
     ~250 us RPC floor while the device tail of one frame is ~48 us — the
     chip idles >80% in per-frame mode (measured, benchmarks/SCALING.md).
-    This step runs a ``lax.scan`` of B ``track_from_blobs`` updates with
-    the tracker state carried across frames, so ONE dispatch (and one
-    packed (B, L) readback) amortises the RPC over B frames and
-    throughput approaches the device tail.  The price is B frames of
-    output latency — keep per-frame mode for closed-loop control and use
-    this for high-rate serving/ingest (``EngineConfig.dispatch_batch``).
+    ONE dispatch (and one packed (B, L) readback) amortises the RPC over
+    B frames.  The price is B frames of output latency — keep per-frame
+    mode for closed-loop control and use this for high-rate
+    serving/ingest (``EngineConfig.dispatch_batch``).
+
+    Structure (the TPU-shaped part): only the tracker update carries
+    state frame-to-frame — the heavy geometry (undistort -> epipolar
+    match -> DLT -> world -> rigid fit) is frame-INDEPENDENT, so it runs
+    vmapped over all B frames as large batched ops (MXU-friendly, one
+    fused launch group) and only the tiny Kalman bank update (O x 9x9)
+    rides a ``lax.scan``.  A naive scan of whole per-frame steps
+    serializes the geometry into B sequential copies of many small HLOs
+    (~135 us/frame device-bound, measured round 3); the vmap+scan split
+    is ~4x faster at B=64.  With ``body_sets`` the rigid-body stage is
+    seeded by tracker state (``ops/rigid_general.fit_body`` temporal
+    seeding), so the whole step falls back to the sequential scan.
 
     blobs_b: (B, C, K, 2); blob_valid_b: (B, C, K); dts: (B,).
     Returns (state_after_B_frames, packed (B, L)) with rows decodable by
@@ -315,13 +325,49 @@ def scan_track_from_blobs(state, blobs_b, blob_valid_b, dts, Ps, K, dist,
     Replaces the reference's only serving mode, the per-frame Python loop
     at ``computer_code/api/index.py:39-59``.
     """
-    def step(st, inp):
-        b, v, dt = inp
-        st2, out = track_from_blobs(st, b, v, dt, Ps, K, dist,
-                                    to_world_matrix, Fs, **kw)
-        return st2, pack_outputs(out)
+    if kw.get("body_sets") or kw.get("body_template") is not None:
+        def step(st, inp):
+            b, v, dt = inp
+            st2, out = track_from_blobs(st, b, v, dt, Ps, K, dist,
+                                        to_world_matrix, Fs, **kw)
+            return st2, pack_outputs(out)
 
-    return jax.lax.scan(step, state, (blobs_b, blob_valid_b, dts))
+        return jax.lax.scan(step, state, (blobs_b, blob_valid_b, dts))
+
+    kw.pop("body_sets", None)
+    kw.pop("body_template", None)
+    kw.pop("max_bodies", None)
+    report = kw.pop("kalman_report", "pre")
+
+    locate = functools.partial(_locate_frame, **kw)
+    blobs_u_b, match_b, pts_b, located_b = jax.vmap(
+        locate, in_axes=(0, 0, None, None, None, None, None))(
+        blobs_b, blob_valid_b, Ps, K, dist, to_world_matrix, Fs)
+
+    def step(st, inp):
+        loc, dt = inp
+        st2, tracked = kalman.update(st, loc.pos, loc.heading, loc.index,
+                                     loc.valid, dt, report=report)
+        return st2, tracked
+
+    # NOTE: no scan unroll here — unrolling lets XLA fuse across
+    # iterations and perturbs the Butterworth IIR by 1 ulp, breaking the
+    # tested bit-identical guarantee vs per-frame mode (worth more than
+    # the ~8% it buys; measured round 3)
+    new_state, tracked_b = jax.lax.scan(step, state, (located_b, dts))
+
+    out_b = FrameOutputs(
+        blob_px=blobs_u_b,
+        blob_valid=blob_valid_b,
+        object_points=pts_b,
+        point_errors=match_b["errors"],
+        point_valid=match_b["valid"],
+        point_obs=match_b.get("obs"),
+        point_obs_mask=match_b.get("obs_mask"),
+        objects=located_b,
+        tracked=tracked_b,
+    )
+    return new_state, jax.vmap(pack_outputs)(out_b)
 
 
 def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
@@ -340,6 +386,40 @@ def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
     fn = functools.partial(track_from_blobs, **kw)
     return jax.vmap(fn)(states, blobs, blob_valid, dts, Ps, K, dist,
                         to_world_matrices, Fs)
+
+
+def _locate_frame(blobs, blob_valid, Ps, K, dist, to_world_matrix, Fs, *,
+                  gate_px, max_candidates, marker_dist1, marker_dist2,
+                  marker_tol, marker_side_min, with_obs=False):
+    """Frame-independent geometry: undistort -> epipolar match -> DLT ->
+    world transform -> rigid-body triple fit.  No tracker state touched,
+    so batched serving vmaps this over whole frame batches
+    (``scan_track_from_blobs``) while the per-frame path calls it inline.
+
+    Returns (blobs_u (C, K, 2), match dict, obj_pts_world (C*K, 3),
+    located ``rigid.LocatedObjects``).
+    """
+    # undistort centroids analytically (replaces the reference's full-frame
+    # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)
+    blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
+    blobs_u = jnp.where(blob_valid[..., None], blobs_u, 0.0)
+
+    match = correspond.match_points(blobs_u, blob_valid, Ps,
+                                    gate_px=gate_px,
+                                    max_candidates=max_candidates,
+                                    Fs=Fs, with_obs=with_obs)
+    obj_pts_world = world.to_world(match["object_points"], to_world_matrix)
+    obj_pts_world = jnp.where(match["valid"][:, None], obj_pts_world, 0.0)
+
+    # heading/side axes (0, 2): the horizontal plane of the engine's world
+    # convention (component 1 = up after helpers.py:102's swap — see
+    # ops/rigid.py docstring)
+    located = rigid.locate_objects(obj_pts_world, match["errors"],
+                                   match["valid"], dist1=marker_dist1,
+                                   dist2=marker_dist2, tol=marker_tol,
+                                   side_min=marker_side_min,
+                                   ax_h1=0, ax_h2=2)
+    return blobs_u, match, obj_pts_world, located
 
 
 def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
@@ -364,26 +444,12 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
     if body_sets:
         state, body_states = state
 
-    # undistort centroids analytically (replaces the reference's full-frame
-    # cv.undistort, computer_code/api/helpers.py:74 — see ops/camera.py)
-    blobs_u = cam_ops.undistort_points(blobs, K[:, None], dist[:, None])
-    blobs_u = jnp.where(blob_valid[..., None], blobs_u, 0.0)
-
-    match = correspond.match_points(blobs_u, blob_valid, Ps,
-                                    gate_px=gate_px,
-                                    max_candidates=max_candidates,
-                                    Fs=Fs, with_obs=with_obs)
-    obj_pts_world = world.to_world(match["object_points"], to_world_matrix)
-    obj_pts_world = jnp.where(match["valid"][:, None], obj_pts_world, 0.0)
-
-    # heading/side axes (0, 2): the horizontal plane of the engine's world
-    # convention (component 1 = up after helpers.py:102's swap — see
-    # ops/rigid.py docstring)
-    located = rigid.locate_objects(obj_pts_world, match["errors"],
-                                   match["valid"], dist1=marker_dist1,
-                                   dist2=marker_dist2, tol=marker_tol,
-                                   side_min=marker_side_min,
-                                   ax_h1=0, ax_h2=2)
+    blobs_u, match, obj_pts_world, located = _locate_frame(
+        blobs, blob_valid, Ps, K, dist, to_world_matrix, Fs,
+        gate_px=gate_px, max_candidates=max_candidates,
+        marker_dist1=marker_dist1, marker_dist2=marker_dist2,
+        marker_tol=marker_tol, marker_side_min=marker_side_min,
+        with_obs=with_obs)
     new_state, tracked = kalman.update(
         state, located.pos, located.heading, located.index, located.valid,
         dt, report=kalman_report)

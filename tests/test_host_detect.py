@@ -210,3 +210,35 @@ def test_dispatch_batch_bit_identical_to_per_frame():
             np.asarray(a["object_points"]), np.asarray(b["object_points"]))
         assert a["filtered_objects"] == b["filtered_objects"]
         assert a["objects"] == b["objects"]
+
+
+def test_packed_ingest_matches_triple_form(lib):
+    """ingest_detect_packed == ingest_detect repacked, on every layout.
+
+    The packed entry (control/native/detect.cc lcm_ingest_detect_packed)
+    writes the (..., K, 3) [x, y, valid] device-upload tensor directly —
+    bench.py and the batched-dispatch path depend on it being
+    bit-identical to the (cent, valid, sizes) triple form.
+    """
+    frames = _random_frames(11, C=4, H=96, W=128)
+    batch = np.stack([_random_frames(s, C=4, H=96, W=128)
+                      for s in range(3)])
+    K = 12
+    for weighted in (False, True):
+        for f in (frames, batch):
+            got = lib.ingest_detect_packed(f, 90, K, weighted=weighted)
+            assert got.shape == f.shape[:-2] + (K, 3)
+            flat = f.reshape(-1, *f.shape[-2:])
+            for i, g in enumerate(got.reshape(-1, K, 3)):
+                cent, val, _ = lib.ingest_detect(
+                    flat[i][None], 90, K, weighted=weighted)
+                np.testing.assert_array_equal(g[:, :2], cent[0])
+                np.testing.assert_array_equal(g[:, 2] > 0.5, val[0])
+    # caller-owned buffer reuse (the double-buffered batch path)
+    buf = np.empty((3, 4, K, 3), np.float32)
+    out = lib.ingest_detect_packed(batch, 90, K, out=buf)
+    assert out is buf
+    np.testing.assert_array_equal(
+        buf, lib.ingest_detect_packed(batch, 90, K))
+    # threshold above uint8 range -> all-invalid, zeroed
+    assert not lib.ingest_detect_packed(frames, 256, K).any()
