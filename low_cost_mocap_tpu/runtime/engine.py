@@ -109,7 +109,7 @@ class Engine:
                 "dispatch_batch > 1 requires the host-detect ingest path "
                 "(native detector + fast path, no mesh mode): the batched "
                 "program scans track_from_blobs over pre-detected blobs")
-        self._batch_buf: list = []  # (blobs, valid, dt) awaiting dispatch
+        self._batch_buf: list = []  # (packed (C,K,3), dt) awaiting dispatch
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -237,22 +237,32 @@ class Engine:
             from low_cost_mocap_tpu.models.pipeline import (pack_outputs,
                                                             track_from_blobs)
 
-            def _tail_packed(state, blobs, blob_valid, *args, **kw):
-                state, out = track_from_blobs(state, blobs, blob_valid,
+            # the host detector hands over ONE (C, K, 3) [x, y, valid]
+            # array (control/native/detect.cc lcm_ingest_detect_packed);
+            # the split happens on device
+            def _tail_packed(state, packed, *args, **kw):
+                state, out = track_from_blobs(state, packed[..., :2],
+                                              packed[..., 2] > 0.5,
                                               *args, **kw)
                 return state, pack_outputs(out)
 
             self._step_blobs = jax.jit(functools.partial(
                 _tail_packed, **_tail), donate_argnums=(0,))
-            # Batched-dispatch variant: B frames per program, state carried
-            # by a lax.scan (models/pipeline.scan_track_from_blobs) — the
+            # Batched-dispatch variant: B frames per program (frame-
+            # parallel geometry + scanned Kalman bank,
+            # models/pipeline.scan_track_from_blobs) — the
             # high-throughput serving mode (EngineConfig.dispatch_batch)
             if self._batch > 1:
                 from low_cost_mocap_tpu.models.pipeline import \
                     scan_track_from_blobs
 
+                def _tail_scan(state, packed_b, dts, *args, **kw):
+                    return scan_track_from_blobs(
+                        state, packed_b[..., :2], packed_b[..., 2] > 0.5,
+                        dts, *args, **kw)
+
                 self._step_scan = jax.jit(functools.partial(
-                    scan_track_from_blobs, **_tail), donate_argnums=(0,))
+                    _tail_scan, **_tail), donate_argnums=(0,))
             else:
                 self._step_scan = None
         else:
@@ -931,15 +941,17 @@ class Engine:
             mesh_payload = jax.device_put(
                 payload, NamedSharding(self._mesh, P("cam")))
         elif self._host_detect:
-            from low_cost_mocap_tpu.control.bindings import ingest_detect
+            from low_cost_mocap_tpu.control.bindings import \
+                ingest_detect_packed
             from low_cost_mocap_tpu.ops.detect import threshold_cutoff
 
-            # fused native threshold+pack+CC (ONE FFI crossing; bit-
-            # identical to the split pack_bits + detect_blobs path)
-            blobs, bvalid, _ = ingest_detect(
+            # fused native threshold+pack+CC straight into the (C, K, 3)
+            # [x, y, valid] upload layout (ONE FFI crossing, no Python
+            # packing; bit-identical to the split pack_bits +
+            # detect_blobs path)
+            blob_args = ingest_detect_packed(
                 frames, threshold_cutoff(self.cfg.detect_threshold),
                 self.cfg.max_blobs, weighted=self.cfg.weighted_centroids)
-            blob_args = (blobs, bvalid)
         elif self._fast:
             idx, ok, packed = sparse_ingest(
                 frames, self.cfg.detect_threshold, self.cfg.sparse_budget)
@@ -952,16 +964,15 @@ class Engine:
             # scan program per dispatch_batch frames (state carried on
             # device), outputs emitted in order when the batch completes
             with self._model_lock:
-                self._batch_buf.append((blob_args[0], blob_args[1], dt32))
+                self._batch_buf.append((blob_args, dt32))
                 if len(self._batch_buf) < self._batch:
                     return None
-                bl = np.stack([b for b, _, _ in self._batch_buf])
-                vl = np.stack([v for _, v, _ in self._batch_buf])
-                dl = np.asarray([d for _, _, d in self._batch_buf],
+                pb = np.stack([p for p, _ in self._batch_buf])
+                dl = np.asarray([d for _, d in self._batch_buf],
                                 np.float32)
                 self._batch_buf = []
                 self._kalman_state, packed_rows = self._step_scan(
-                    self._kalman_state, bl, vl, dl,
+                    self._kalman_state, pb, dl,
                     self._Ps, self._K, self._dist, self._M, self._F)
                 rows = np.asarray(packed_rows)    # ONE (B, L) readback
                 outs = [unpack_outputs(
@@ -982,7 +993,7 @@ class Engine:
                     self._Ps, self._K, self._dist, self._M, self._F)
             elif blob_args is not None:
                 self._kalman_state, packed = self._step_blobs(
-                    self._kalman_state, blob_args[0], blob_args[1], dt32,
+                    self._kalman_state, blob_args, dt32,
                     self._Ps, self._K, self._dist, self._M, self._F)
             else:
                 step = (self._step_sparse if (self._fast and ok)
