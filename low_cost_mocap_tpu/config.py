@@ -182,12 +182,14 @@ class EngineConfig:
     health_dark_frames: int = 90
 
     # Batched-dispatch serving: process this many consecutive frames per
-    # device dispatch (one lax.scan program, tracker state carried — see
-    # models/pipeline.scan_track_from_blobs).  Amortises the per-dispatch
-    # RPC floor (~250 us on tunneled links; the device tail is ~48 us per
-    # frame) at the cost of dispatch_batch frames of output latency.
+    # device dispatch — ONE XLA program with the frame-independent
+    # geometry vmapped over the batch and only the Kalman bank scanned
+    # (models/pipeline.scan_track_from_blobs; bit-identical to per-frame
+    # mode).  Amortises the per-dispatch RPC floor (~250 us on tunneled
+    # links) at the cost of dispatch_batch frames of output latency.
     # 1 = per-frame (the default: right for closed-loop control); raise to
-    # 8-64 for high-rate serving/ingest where latency is secondary.
+    # 64-128 for high-rate serving/ingest where latency is secondary
+    # (measured 18.8k frames/s at 128 on a v5e, benchmarks/SCALING.md §2).
     # Requires the host-detect ingest path.
     dispatch_batch: int = 1
 
