@@ -27,12 +27,12 @@ def main(rig_counts):
     import jax.numpy as jnp
 
     from low_cost_mocap_tpu.config import EngineConfig
-    from low_cost_mocap_tpu.control.bindings import detect_blobs
+    from low_cost_mocap_tpu.control.bindings import ingest_detect_packed
     from low_cost_mocap_tpu.models.pipeline import (
         batched_track_from_blobs, make_init_state)
     from low_cost_mocap_tpu.ops import camera as cam_ops
     from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
-    from low_cost_mocap_tpu.ops.detect import pack_frames
+    from low_cost_mocap_tpu.ops.detect import threshold_cutoff
     from low_cost_mocap_tpu.utils import synthetic as syn
 
     cfg = EngineConfig()
@@ -69,14 +69,12 @@ def main(rig_counts):
 
         frames_all = np.stack([f for _, f, *_ in rigs])  # (R, C, H, W)
 
+        cutoff = threshold_cutoff(cfg.detect_threshold)
+
         def ingest():
-            bits = pack_frames(frames_all.reshape(R * C, H, W),
-                               cfg.detect_threshold)
-            blobs, bvalid, _ = detect_blobs(bits, H, W, cfg.max_blobs)
-            p = np.empty((R, C, cfg.max_blobs, 3), np.float32)
-            p[..., :2] = blobs.reshape(R, C, cfg.max_blobs, 2)
-            p[..., 2] = bvalid.reshape(R, C, cfg.max_blobs)
-            return p
+            # fused native detection straight into the (R, C, K, 3)
+            # upload layout — one FFI call for all R rigs' frame sets
+            return ingest_detect_packed(frames_all, cutoff, cfg.max_blobs)
 
         states = jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[make_init_state(rig0) for _ in range(R)])
