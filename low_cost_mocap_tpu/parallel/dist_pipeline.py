@@ -96,3 +96,70 @@ def dist_frame_step(mesh: Mesh, state, frames, dt, Ps, K, dist,
     step = _compiled_dist_step(mesh, axis, rig, cfg, packed, use_pallas)
     frames_s = jax.device_put(frames, NamedSharding(mesh, P(axis)))
     return step(state, frames_s, dt, Ps, K, dist, to_world_matrix, Fs)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_dist_scan_step(mesh: Mesh, axis: str, rig: RigConfig,
+                             cfg: EngineConfig, packed: bool,
+                             with_obs: bool = False):
+    """Batched-dispatch x camera-sharded: B frames per program over the
+    ``cam`` axis.
+
+    Composition of the two serving scalings: each device ingests +
+    detects only its cameras for the WHOLE batch (vmapped over B — big
+    batched detection ops per shard), ONE pair of all_gathers moves the
+    (B, C, K, ...) centroids (still tiny), and the replicated tail is
+    ``models.pipeline.scan_track_from_blobs`` — frame-parallel geometry,
+    scanned Kalman bank, packed (B, L) rows out.  Bit-identical to the
+    single-device batched step (tested)."""
+    from low_cost_mocap_tpu.models.pipeline import scan_track_from_blobs
+
+    def step(state, frames_local, dts, Ps, K, dist, M, Fs):
+        # frames_local: this shard's (B, C/d, H, W) cameras
+        if packed:
+            f = detect.unpack_bits(frames_local)
+            thr = 0.5
+        else:
+            f = frames_local.astype(jnp.float32) * (1.0 / 255.0)
+            thr = cfg.detect_threshold
+        blobs_l, valid_l, _ = jax.vmap(
+            lambda fr: detect.find_blobs_multi(
+                fr, thr, cfg.max_blobs, cc_iters=cfg.cc_iters))(f)
+        # the ONE collective pair: whole batch's centroids + masks
+        blobs = jax.lax.all_gather(blobs_l, axis, axis=1, tiled=True)
+        valid = jax.lax.all_gather(valid_l, axis, axis=1, tiled=True)
+        return scan_track_from_blobs(
+            state, blobs, valid, dts, Ps, K, dist, M, Fs,
+            gate_px=cfg.epipolar_gate_px,
+            max_candidates=cfg.max_candidates_per_cam,
+            marker_dist1=rig.marker_dist_short,
+            marker_dist2=rig.marker_dist_long,
+            marker_tol=rig.marker_dist_tol,
+            marker_side_min=rig.marker_side_min,
+            body_sets=rig.body_sets_resolved(),
+            kalman_report=cfg.kalman_report,
+            with_obs=with_obs)
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def dist_scan_frame_step(mesh: Mesh, state, frames_b, dts, Ps, K, dist,
+                         to_world_matrix, Fs, rig: RigConfig,
+                         cfg: EngineConfig, *, axis: str = "cam",
+                         packed: bool = False, with_obs: bool = False):
+    """B camera-sharded frames in ONE program (see _compiled_dist_scan_step).
+
+    frames_b: (B, C, H, W) uint8 (or (B, C, H, W//8) when ``packed``);
+    C divisible by the axis size; dts: (B,).  Returns (state, packed
+    (B, L) rows) decodable by ``models.pipeline.unpack_outputs`` —
+    replicated across the mesh.
+    """
+    step = _compiled_dist_scan_step(mesh, axis, rig, cfg, packed,
+                                    with_obs)
+    frames_s = jax.device_put(frames_b,
+                              NamedSharding(mesh, P(None, axis)))
+    return step(state, frames_s, dts, Ps, K, dist, to_world_matrix, Fs)

@@ -67,3 +67,66 @@ def test_cam_sharded_step_matches_single_device():
         tvalid = np.asarray(ref.tracked.valid)
         assert np.abs((np.asarray(out.tracked.pos)
                        - np.asarray(ref.tracked.pos))[tvalid]).max() < 1e-4, d
+
+
+@pytest.mark.slow
+def test_cam_sharded_batched_scan_matches_single_device():
+    """dist_scan_frame_step (batched x cam-sharded) == single-device
+    scan_track_from_blobs on the same B-frame batch, at 2 and 4 shards."""
+    from low_cost_mocap_tpu.models.pipeline import (scan_track_from_blobs,
+                                                    unpack_outputs)
+    from low_cost_mocap_tpu.ops import detect
+    from low_cost_mocap_tpu.parallel.dist_pipeline import dist_scan_frame_step
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=8)
+    cfg = EngineConfig()
+    rng = np.random.default_rng(1)
+    B = 5
+    frames_seq = []
+    for t in range(B):
+        X = np.concatenate([
+            syn.drone_markers(
+                np.array([0.1 + 0.02 * t, -0.1, 0.9], np.float32), 0.4, rig),
+            syn.random_points(rng, 3),
+        ])
+        pts, mask = syn.observe(X, Rs, ts, rig)
+        frames_seq.append(np.asarray(
+            syn.render_frames(pts, mask, rig.image_size, sigma=0.8)))
+    frames_b = (np.stack(frames_seq) * 255).astype(np.uint8)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    Fs = _pairwise_fundamentals(Ps)
+    M = jnp.eye(4, dtype=jnp.float32)
+    dts = jnp.full((B,), 1.0 / 60.0, jnp.float32)
+    tail = dict(gate_px=cfg.epipolar_gate_px,
+                max_candidates=cfg.max_candidates_per_cam,
+                marker_dist1=rig.marker_dist_short,
+                marker_dist2=rig.marker_dist_long,
+                marker_tol=rig.marker_dist_tol,
+                marker_side_min=rig.marker_side_min,
+                kalman_report=cfg.kalman_report)
+
+    # single-device reference: same detection (find_blobs_multi), same tail
+    f = jnp.asarray(frames_b).astype(jnp.float32) * (1.0 / 255.0)
+    blobs_b, valid_b, _ = jax.vmap(
+        lambda fr: detect.find_blobs_multi(
+            fr, cfg.detect_threshold, cfg.max_blobs,
+            cc_iters=cfg.cc_iters))(f)
+    ref_fn = jax.jit(functools.partial(scan_track_from_blobs, **tail))
+    _, ref_rows = ref_fn(make_init_state(rig), blobs_b, valid_b, dts,
+                         Ps, K, dist, M, Fs)
+    ref_rows = np.asarray(ref_rows)
+
+    for d in (2, 4):
+        m = mesh_lib.make_mesh({"cam": d}, devices=jax.devices()[:d])
+        _, rows = dist_scan_frame_step(
+            m, make_init_state(rig), jnp.asarray(frames_b), dts,
+            Ps, K, dist, M, Fs, rig, cfg)
+        rows = np.asarray(rows)
+        assert rows.shape == ref_rows.shape, d
+        np.testing.assert_allclose(rows, ref_rows, atol=1e-5)
+        # decode a row to prove the serving contract holds
+        out = unpack_outputs(rows[-1], rig.num_cameras, cfg.max_blobs,
+                             rig.num_objects)
+        assert out.tracked.valid.any(), d
