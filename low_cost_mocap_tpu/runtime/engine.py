@@ -104,12 +104,15 @@ class Engine:
             except Exception:
                 self._host_detect = False
         self._batch = max(int(cfg.dispatch_batch), 1)
-        if self._batch > 1 and not self._host_detect:
+        if self._batch > 1 and not (self._host_detect or mesh is not None):
             raise ValueError(
                 "dispatch_batch > 1 requires the host-detect ingest path "
-                "(native detector + fast path, no mesh mode): the batched "
-                "program scans track_from_blobs over pre-detected blobs")
-        self._batch_buf: list = []  # (packed (C,K,3), dt) awaiting dispatch
+                "(native detector + fast path) or mesh mode: the batched "
+                "program runs pre-detected (or per-shard-detected) blobs "
+                "through scan_track_from_blobs")
+        # (packed (C,K,3), dt) — or (mesh payload, dt) in mesh mode —
+        # awaiting dispatch
+        self._batch_buf: list = []
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -938,6 +941,30 @@ class Engine:
 
             payload = (pack_frames(frames, self.cfg.detect_threshold)
                        if self._fast else frames)
+            if self._batch > 1:
+                # batched x camera-sharded serving: buffer host payloads,
+                # ONE dist_scan program per dispatch_batch frames
+                # (per-shard detection vmapped over B, centroids
+                # all_gathered once, frame-parallel scan tail)
+                from low_cost_mocap_tpu.parallel.dist_pipeline import \
+                    dist_scan_frame_step
+
+                dt32 = np.float32(dt)
+                with self._model_lock:
+                    self._batch_buf.append((np.asarray(payload), dt32))
+                    if len(self._batch_buf) < self._batch:
+                        return None
+                    pb = np.stack([p for p, _ in self._batch_buf])
+                    dl = np.asarray([d for _, d in self._batch_buf],
+                                    np.float32)
+                    self._batch_buf = []
+                    self._kalman_state, packed_rows = dist_scan_frame_step(
+                        self._mesh, self._kalman_state, pb, dl,
+                        self._Ps, self._K, self._dist, self._M, self._F,
+                        self.rig, self.cfg, packed=self._fast,
+                        with_obs=True)
+                    outs, set_of_slot = self._decode_batch_rows(packed_rows)
+                return self._emit_batch_outs(outs, set_of_slot)
             mesh_payload = jax.device_put(
                 payload, NamedSharding(self._mesh, P("cam")))
         elif self._host_detect:
@@ -974,17 +1001,8 @@ class Engine:
                 self._kalman_state, packed_rows = self._step_scan(
                     self._kalman_state, pb, dl,
                     self._Ps, self._K, self._dist, self._M, self._F)
-                rows = np.asarray(packed_rows)    # ONE (B, L) readback
-                outs = [unpack_outputs(
-                    rows[i], self.rig.num_cameras, self.cfg.max_blobs,
-                    self.rig.num_objects, num_bodies=self._num_bodies,
-                    with_obs=True) for i in range(rows.shape[0])]
-                set_of_slot = self._body_set_of_slot
-            for o in outs:
-                self._emit_frame_outputs(o, set_of_slot)
-            with self._frame_lock:
-                self._last_out = outs[-1]
-            return outs[-1]
+                outs, set_of_slot = self._decode_batch_rows(packed_rows)
+            return self._emit_batch_outs(outs, set_of_slot)
 
         with self._model_lock:
             if mesh_payload is not None:
@@ -1025,6 +1043,27 @@ class Engine:
         with self._frame_lock:
             self._last_out = out
         return out
+
+    def _decode_batch_rows(self, packed_rows):
+        """Decode a batched dispatch's (B, L) packed rows into per-frame
+        FrameOutputs (ONE readback).  Caller holds ``_model_lock`` — the
+        slot->template map must be snapshotted with the outputs it
+        describes (a learn-body-template apply can rebuild it mid-emit)."""
+        rows = np.asarray(packed_rows)
+        outs = [unpack_outputs(
+            rows[i], self.rig.num_cameras, self.cfg.max_blobs,
+            self.rig.num_objects, num_bodies=self._num_bodies,
+            with_obs=True) for i in range(rows.shape[0])]
+        return outs, self._body_set_of_slot
+
+    def _emit_batch_outs(self, outs, set_of_slot):
+        """Emit a completed batch's outputs in frame order (outside the
+        model lock) and return the newest one."""
+        for o in outs:
+            self._emit_frame_outputs(o, set_of_slot)
+        with self._frame_lock:
+            self._last_out = outs[-1]
+        return outs[-1]
 
     def _emit_frame_outputs(self, out, set_of_slot) -> None:
         """Per-frame output fan-out: health counters, mode-gated reference

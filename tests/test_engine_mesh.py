@@ -61,3 +61,37 @@ def test_mesh_engine_rejects_indivisible_cameras():
         Engine(rig, EngineConfig(),
                SyntheticSource(rig, Rs, ts, num_drones=1),
                CollectingLink(), mesh=_make_mesh(3))
+
+
+def test_mesh_engine_batched_matches_per_frame():
+    """Engine(mesh=..., dispatch_batch=B): the batched x camera-sharded
+    product mode emits the same outputs as per-frame mesh serving, at
+    batch boundaries only."""
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    B = 4
+    src = SyntheticSource(rig, Rs, ts, num_drones=1)
+    frames_seq = [np.array(src.read()) for _ in range(2 * B)]
+
+    events = []
+    for cfg in (EngineConfig(), EngineConfig(dispatch_batch=B)):
+        e = Engine(rig, cfg, SyntheticSource(rig, Rs, ts, num_drones=1),
+                   CollectingLink(), mesh=_make_mesh(4))
+        e.set_camera_poses(Rs, ts)
+        e.is_capturing_points = True
+        e.is_triangulating_points = True
+        e.is_locating_objects = True
+        got = []
+        e.on("object-points", got.append)
+        rets = [e.process_frame(f, 1 / 60) for f in frames_seq]
+        events.append(got)
+        if cfg.dispatch_batch > 1:
+            # outputs appear only when a batch completes
+            assert [r is None for r in rets] == \
+                [(i + 1) % B != 0 for i in range(2 * B)]
+    assert len(events[0]) == len(events[1]) == 2 * B
+    for a, b in zip(events[0], events[1]):
+        np.testing.assert_allclose(
+            np.asarray(a["object_points"]), np.asarray(b["object_points"]),
+            atol=1e-5)
+        for fa, fb in zip(a["filtered_objects"], b["filtered_objects"]):
+            np.testing.assert_allclose(fa["pos"], fb["pos"], atol=1e-5)
