@@ -119,7 +119,6 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     F = _transition(dt, dtype)
     Q = jnp.eye(9, dtype=dtype) * process_noise
     R = jnp.eye(6, dtype=dtype) * meas_noise
-    H = jnp.zeros((6, 9), dtype).at[:, :6].set(jnp.eye(6, dtype=dtype))
     b, a = lowpass.butter_coeffs()
 
     def per_object(o, xs):
@@ -155,12 +154,17 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         vel_base = jnp.where(reseed, new_pos, prev_pos)
         new_vel = (new_pos - vel_base) / jnp.maximum(elapsed, 1e-6)
 
-        # correct
+        # correct — H selects the first 6 state components, so every
+        # product with H/H.T is a slice (or zero-pad) of the operand:
+        # bit-identical to the explicit matmuls (one-hot dot products are
+        # exact for finite values), several 9x9 matmuls cheaper per
+        # scan iteration in batched serving
         z = jnp.concatenate([new_pos, new_vel])
-        S = H @ P_pre @ H.T + R
-        K = P_pre @ H.T @ jnp.linalg.inv(S)
-        x_post = x_pre + K @ (z - H @ x_pre)
-        P_post = (jnp.eye(9, dtype=dtype) - K @ H) @ P_pre
+        S = P_pre[:6, :6] + R                      # H @ P_pre @ H.T + R
+        K = P_pre[:, :6] @ jnp.linalg.inv(S)       # P_pre @ H.T @ inv(S)
+        x_post = x_pre + K @ (z - x_pre[:6])       # z - H @ x_pre
+        KH = jnp.concatenate([K, jnp.zeros((9, 3), dtype)], axis=1)
+        P_post = (jnp.eye(9, dtype=dtype) - KH) @ P_pre
 
         x_rep = x_pre if report == "pre" else x_post
         # low-pass heading + reported-state velocity
