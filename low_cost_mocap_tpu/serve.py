@@ -29,10 +29,12 @@ def main(argv=None):
                    help="intensity-weighted sub-pixel blob centroids "
                         "(host-detect path; ~2x lower 3D marker error)")
     p.add_argument("--dispatch-batch", type=int, default=1,
-                   help="frames per device dispatch (one lax.scan program; "
-                        "amortises the per-dispatch RPC on tunneled links "
-                        "at N frames of latency — keep 1 for closed-loop "
-                        "control, raise for high-rate serving)")
+                   help="frames per device dispatch (one XLA program per "
+                        "batch: geometry vmapped over the frames, Kalman "
+                        "bank scanned; amortises the per-dispatch RPC on "
+                        "tunneled links at N frames of latency — keep 1 "
+                        "for closed-loop control, raise for high-rate "
+                        "serving; composes with --cam-shards)")
     p.add_argument("--calibration", help="calibration artifact (json) to load")
     p.add_argument("--body-markers",
                    help="JSON [[x,y,z],...] rigid-body template (engine "
