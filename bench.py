@@ -15,12 +15,16 @@ device step starts at track_from_blobs with a ~100-byte centroid upload
 that rides the dispatch RPC (no separate device_put; jax's async dispatch
 pipelines consecutive frames).
 
-Timing: best of 5 windows x 200 frames (the chip-capability number; the
-device sits behind a shared tunnel whose congestion jitters individual
-windows by 2x, and min-time-per-window is the standard estimator under
-one-sided noise).
+Timing: "value" (per-frame mode) is the best of TWO best-of-5x200-frame
+passes, one before and one after the batched section — tunnel congestion
+comes in minutes-long bursts, so the two passes sample different
+congestion windows and min-time is the standard estimator under
+one-sided noise.  "batched_value" is best-of-5 windows of 32 dispatches
+of the batched serving mode (dispatch_batch frames per program), which
+is nearly congestion-immune (one RPC per B frames).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"batched_value", "dispatch_batch", "batched_vs_baseline"}.
 """
 
 from __future__ import annotations

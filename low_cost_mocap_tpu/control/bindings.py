@@ -330,15 +330,23 @@ def ingest_detect_packed(frames_u8: np.ndarray, cutoff: int,
     reuses a caller-owned C-contiguous buffer of the right shape/dtype
     (double-buffer it if the previous batch may still be in flight).
     """
-    assert frames_u8.dtype == np.uint8 and frames_u8.shape[-1] % 8 == 0
+    if frames_u8.dtype != np.uint8 or frames_u8.shape[-1] % 8:
+        raise ValueError(
+            f"frames must be uint8 with W % 8 == 0, got "
+            f"{frames_u8.dtype} {frames_u8.shape}")
     lead, (H, W) = frames_u8.shape[:-2], frames_u8.shape[-2:]
     n = int(np.prod(lead, dtype=np.int64)) if lead else 1
     shape = (*lead, max_blobs, 3)
     if out is None:
         out = np.empty(shape, np.float32)
-    else:
-        assert (out.shape == shape and out.dtype == np.float32
-                and out.flags.c_contiguous)
+    elif (out.shape != shape or out.dtype != np.float32
+          or not out.flags.c_contiguous):
+        # a real exception, not an assert: the native call writes
+        # n*max_blobs*3 floats through the raw pointer, so a wrong
+        # buffer under `python -O` would be silent heap corruption
+        raise ValueError(
+            f"out must be C-contiguous float32 of shape {shape}, got "
+            f"{out.dtype} {out.shape} contiguous={out.flags.c_contiguous}")
     if cutoff > 255:        # threshold above every uint8 value: no blobs
         out[:] = 0.0
         return out

@@ -101,17 +101,19 @@ def dist_frame_step(mesh: Mesh, state, frames, dt, Ps, K, dist,
 @functools.lru_cache(maxsize=16)
 def _compiled_dist_scan_step(mesh: Mesh, axis: str, rig: RigConfig,
                              cfg: EngineConfig, packed: bool,
+                             use_pallas: bool = False,
                              with_obs: bool = False):
     """Batched-dispatch x camera-sharded: B frames per program over the
     ``cam`` axis.
 
     Composition of the two serving scalings: each device ingests +
-    detects only its cameras for the WHOLE batch (vmapped over B — big
-    batched detection ops per shard), ONE pair of all_gathers moves the
-    (B, C, K, ...) centroids (still tiny), and the replicated tail is
-    ``models.pipeline.scan_track_from_blobs`` — frame-parallel geometry,
-    scanned Kalman bank, packed (B, L) rows out.  Bit-identical to the
-    single-device batched step (tested)."""
+    detects only its cameras for the WHOLE batch (the (B, C/d) leading
+    dims fold into one frame axis, so either detector runs over B*C/d
+    frames unvmapped — the Pallas fast path included), ONE pair of
+    all_gathers moves the (B, C, K, ...) centroids (still tiny), and the
+    replicated tail is ``models.pipeline.scan_track_from_blobs`` —
+    frame-parallel geometry, scanned Kalman bank, packed (B, L) rows
+    out.  Bit-identical to the single-device batched step (tested)."""
     from low_cost_mocap_tpu.models.pipeline import scan_track_from_blobs
 
     def step(state, frames_local, dts, Ps, K, dist, M, Fs):
@@ -122,9 +124,19 @@ def _compiled_dist_scan_step(mesh: Mesh, axis: str, rig: RigConfig,
         else:
             f = frames_local.astype(jnp.float32) * (1.0 / 255.0)
             thr = cfg.detect_threshold
-        blobs_l, valid_l, _ = jax.vmap(
-            lambda fr: detect.find_blobs_multi(
-                fr, thr, cfg.max_blobs, cc_iters=cfg.cc_iters))(f)
+        B, Cl, H, W = f.shape
+        f = f.reshape(B * Cl, H, W)
+        if use_pallas:
+            from low_cost_mocap_tpu.ops.detect_pallas import \
+                find_blobs_pallas
+
+            blobs_l, valid_l, _ = find_blobs_pallas(
+                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+        else:
+            blobs_l, valid_l, _ = detect.find_blobs_multi(
+                f, thr, cfg.max_blobs, cc_iters=cfg.cc_iters)
+        blobs_l = blobs_l.reshape(B, Cl, *blobs_l.shape[1:])
+        valid_l = valid_l.reshape(B, Cl, *valid_l.shape[1:])
         # the ONE collective pair: whole batch's centroids + masks
         blobs = jax.lax.all_gather(blobs_l, axis, axis=1, tiled=True)
         valid = jax.lax.all_gather(valid_l, axis, axis=1, tiled=True)
@@ -150,7 +162,8 @@ def _compiled_dist_scan_step(mesh: Mesh, axis: str, rig: RigConfig,
 def dist_scan_frame_step(mesh: Mesh, state, frames_b, dts, Ps, K, dist,
                          to_world_matrix, Fs, rig: RigConfig,
                          cfg: EngineConfig, *, axis: str = "cam",
-                         packed: bool = False, with_obs: bool = False):
+                         packed: bool = False, use_pallas: bool = False,
+                         with_obs: bool = False):
     """B camera-sharded frames in ONE program (see _compiled_dist_scan_step).
 
     frames_b: (B, C, H, W) uint8 (or (B, C, H, W//8) when ``packed``);
@@ -159,7 +172,7 @@ def dist_scan_frame_step(mesh: Mesh, state, frames_b, dts, Ps, K, dist,
     replicated across the mesh.
     """
     step = _compiled_dist_scan_step(mesh, axis, rig, cfg, packed,
-                                    with_obs)
+                                    use_pallas, with_obs)
     frames_s = jax.device_put(frames_b,
                               NamedSharding(mesh, P(None, axis)))
     return step(state, frames_s, dts, Ps, K, dist, to_world_matrix, Fs)

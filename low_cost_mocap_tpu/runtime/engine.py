@@ -944,27 +944,20 @@ class Engine:
             if self._batch > 1:
                 # batched x camera-sharded serving: buffer host payloads,
                 # ONE dist_scan program per dispatch_batch frames
-                # (per-shard detection vmapped over B, centroids
+                # (per-shard detection over the whole batch, centroids
                 # all_gathered once, frame-parallel scan tail)
                 from low_cost_mocap_tpu.parallel.dist_pipeline import \
                     dist_scan_frame_step
 
-                dt32 = np.float32(dt)
-                with self._model_lock:
-                    self._batch_buf.append((np.asarray(payload), dt32))
-                    if len(self._batch_buf) < self._batch:
-                        return None
-                    pb = np.stack([p for p, _ in self._batch_buf])
-                    dl = np.asarray([d for _, d in self._batch_buf],
-                                    np.float32)
-                    self._batch_buf = []
-                    self._kalman_state, packed_rows = dist_scan_frame_step(
+                def dispatch_mesh(pb, dl):
+                    return dist_scan_frame_step(
                         self._mesh, self._kalman_state, pb, dl,
                         self._Ps, self._K, self._dist, self._M, self._F,
                         self.rig, self.cfg, packed=self._fast,
-                        with_obs=True)
-                    outs, set_of_slot = self._decode_batch_rows(packed_rows)
-                return self._emit_batch_outs(outs, set_of_slot)
+                        use_pallas=self._pallas, with_obs=True)
+
+                return self._run_batched(np.asarray(payload),
+                                         np.float32(dt), dispatch_mesh)
             mesh_payload = jax.device_put(
                 payload, NamedSharding(self._mesh, P("cam")))
         elif self._host_detect:
@@ -990,19 +983,12 @@ class Engine:
             # batched-dispatch serving: buffer host-detected frames, ONE
             # scan program per dispatch_batch frames (state carried on
             # device), outputs emitted in order when the batch completes
-            with self._model_lock:
-                self._batch_buf.append((blob_args, dt32))
-                if len(self._batch_buf) < self._batch:
-                    return None
-                pb = np.stack([p for p, _ in self._batch_buf])
-                dl = np.asarray([d for _, d in self._batch_buf],
-                                np.float32)
-                self._batch_buf = []
-                self._kalman_state, packed_rows = self._step_scan(
+            def dispatch_blobs(pb, dl):
+                return self._step_scan(
                     self._kalman_state, pb, dl,
                     self._Ps, self._K, self._dist, self._M, self._F)
-                outs, set_of_slot = self._decode_batch_rows(packed_rows)
-            return self._emit_batch_outs(outs, set_of_slot)
+
+            return self._run_batched(blob_args, dt32, dispatch_blobs)
 
         with self._model_lock:
             if mesh_payload is not None:
@@ -1043,6 +1029,26 @@ class Engine:
         with self._frame_lock:
             self._last_out = out
         return out
+
+    def _run_batched(self, payload, dt32, dispatch):
+        """Shared batched-dispatch protocol for both serving backends
+        (host-detect scan and camera-sharded dist scan): buffer
+        (payload, dt) under ``_model_lock``, and when ``dispatch_batch``
+        frames have accumulated, stack them, run ``dispatch(pb, dl)``
+        (which must consume ``self._kalman_state`` and return
+        (new_state, packed (B, L) rows)), decode under the lock, emit
+        outside it.  Returns the newest frame's outputs, or None while
+        the batch is still filling."""
+        with self._model_lock:
+            self._batch_buf.append((payload, dt32))
+            if len(self._batch_buf) < self._batch:
+                return None
+            pb = np.stack([p for p, _ in self._batch_buf])
+            dl = np.asarray([d for _, d in self._batch_buf], np.float32)
+            self._batch_buf = []
+            self._kalman_state, packed_rows = dispatch(pb, dl)
+            outs, set_of_slot = self._decode_batch_rows(packed_rows)
+        return self._emit_batch_outs(outs, set_of_slot)
 
     def _decode_batch_rows(self, packed_rows):
         """Decode a batched dispatch's (B, L) packed rows into per-frame
