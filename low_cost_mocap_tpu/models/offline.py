@@ -53,6 +53,12 @@ def process_recording(frames_seq, Ps, K, dist, to_world_matrix, rig: RigConfig,
                       body_sets=None, smooth: bool = False):
     """Run a full recording through vision + tracking in one jit.
 
+    For long recordings prefer ``stream_recording``: bit-identical
+    outputs at O(block) memory, and ~1.5x FASTER end-to-end (measured
+    r3: 6,976 vs 4,591 frames/s) because each block's host detection
+    overlaps the previous block's device program, while this one-shot
+    path detects the whole recording serially up front.
+
     frames_seq: (T, C, H, W) uint8, (T, C, H, W//8) when ``packed``, or
     (T, budget) int32 lit-pixel indices when ``sparse`` (the minimal-ingest
     encoding of ``ops.detect.sparse_ingest`` — 26 MB of packed bitmaps for a
