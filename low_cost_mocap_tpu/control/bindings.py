@@ -334,6 +334,10 @@ def ingest_detect_packed(frames_u8: np.ndarray, cutoff: int,
         raise ValueError(
             f"frames must be uint8 with W % 8 == 0, got "
             f"{frames_u8.dtype} {frames_u8.shape}")
+    if max_blobs <= 0:
+        # a zero-width slot tensor would only fail later, deep inside the
+        # jitted step, with an opaque shape error
+        raise ValueError(f"max_blobs must be positive, got {max_blobs}")
     lead, (H, W) = frames_u8.shape[:-2], frames_u8.shape[-2:]
     n = int(np.prod(lead, dtype=np.int64)) if lead else 1
     shape = (*lead, max_blobs, 3)

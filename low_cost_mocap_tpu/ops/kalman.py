@@ -156,9 +156,13 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
 
         # correct — H selects the first 6 state components, so every
         # product with H/H.T is a slice (or zero-pad) of the operand:
-        # bit-identical to the explicit matmuls (one-hot dot products are
-        # exact for finite values), several 9x9 matmuls cheaper per
-        # scan iteration in batched serving
+        # bit-identical to the explicit matmuls under exact matmul
+        # precision (one-hot dot products are exact for finite values);
+        # under TPU-default reduced f32 matmul precision the old H@P
+        # matmuls were NOT exact, so the slice is the more accurate of
+        # the two on-chip.  Several 9x9 matmuls cheaper per scan
+        # iteration in batched serving; batched-vs-per-frame parity is
+        # unaffected (both modes share this code).
         z = jnp.concatenate([new_pos, new_vel])
         S = P_pre[:6, :6] + R                      # H @ P_pre @ H.T + R
         K = P_pre[:, :6] @ jnp.linalg.inv(S)       # P_pre @ H.T @ inv(S)

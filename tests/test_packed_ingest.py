@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -146,3 +147,11 @@ def test_sparse_pipeline_matches_packed():
                                   np.asarray(out_s.blob_px))
     np.testing.assert_array_equal(np.asarray(out_p.object_points),
                                   np.asarray(out_s.object_points))
+
+
+def test_ingest_detect_packed_rejects_nonpositive_max_blobs():
+    from low_cost_mocap_tpu.control.bindings import ingest_detect_packed
+    frames = np.zeros((2, 16, 16), np.uint8)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_blobs"):
+            ingest_detect_packed(frames, 50, bad)
