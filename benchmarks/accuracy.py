@@ -149,6 +149,25 @@ def main(T: int = 600):
     for name, val, unit in rows16:
         print(f"  {name:55s} {val:7.3f} {unit}")
 
+    # ---- differential vs the ACTUAL reference implementation ----
+    # (imported from /root/reference, hardware seams stubbed; identical
+    # detection streams through both systems — utils/differential.py)
+    from low_cost_mocap_tpu.utils import differential, reference_impl
+
+    if reference_impl.reference_available():
+        m = differential.run_differential(T=240, noise_px=0.3, seed=7)
+        print("differential vs reference implementation (2 drones, "
+              f"T={m['T']}, {m['noise_px']} px noise, identical streams):")
+        for idx in (0, 1):
+            r = m[idx]
+            print(f"  drone {idx}: ATE ref-vs-THIS "
+                  f"{r['ate_ref_vs_repo_mm']:6.3f} mm  "
+                  f"(steady {r['ate_ref_vs_repo_steady_mm']:5.3f})   "
+                  f"ref-vs-truth {r['ate_ref_vs_truth_mm']:6.3f} mm   "
+                  f"THIS-vs-truth {r['ate_repo_vs_truth_mm']:6.3f} mm")
+    else:
+        print("differential vs reference: reference checkout not present")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
