@@ -43,10 +43,23 @@ class CameraIntrinsics:
         return np.asarray(self.distortion_coef, dtype=np.float32)
 
 
-def _default_intrinsics(num_cameras: int, image_size: int) -> tuple:
-    f = float(image_size) * 0.85
-    c = float(image_size) / 2.0
-    K = ((f, 0.0, c), (0.0, f, c), (0.0, 0.0, 1.0))
+def _normalize_image_size(image_size):
+    """int -> square; (H, W) sequence -> tuple.  Used by RigConfig."""
+    if isinstance(image_size, (int, np.integer)):
+        return int(image_size)
+    h, w = image_size
+    return (int(h), int(w))
+
+
+def _image_hw(image_size) -> tuple:
+    s = _normalize_image_size(image_size)
+    return (s, s) if isinstance(s, int) else s
+
+
+def _default_intrinsics(num_cameras: int, image_size) -> tuple:
+    h, w = _image_hw(image_size)
+    f = float(max(h, w)) * 0.85
+    K = ((f, 0.0, w / 2.0), (0.0, f, h / 2.0), (0.0, 0.0, 1.0))
     return tuple(
         CameraIntrinsics(intrinsic_matrix=K, distortion_coef=(0.0,) * 5)
         for _ in range(num_cameras)
@@ -58,8 +71,12 @@ class RigConfig:
     """Physical rig description: cameras, marker geometry, world scale."""
 
     num_cameras: int = 4
-    image_size: int = 320            # square frames (reference pads to square,
-                                     # computer_code/api/helpers.py:507-523)
+    # Frame geometry: an int means square frames (the reference pads its
+    # rotated 320x240 sensor frames square, computer_code/api/helpers.py:
+    # 507-523); an (H, W) tuple runs the native rectangular shape unpadded
+    # through every ingest path — e.g. (320, 240) for the reference's
+    # sensor after its rot90 (helpers.py:71) with no padded columns.
+    image_size: Any = 320            # int | (H, W)
     cameras: tuple = ()              # tuple[CameraIntrinsics]
     # Drone marker geometry (reference computer_code/api/helpers.py:425-426):
     marker_dist_short: float = 0.095   # LED#3 to each arm LED
@@ -80,6 +97,8 @@ class RigConfig:
     body_sets: tuple = ()              # (((xyz, ...), max_instances), ...)
 
     def __post_init__(self):
+        object.__setattr__(
+            self, "image_size", _normalize_image_size(self.image_size))
         if not self.cameras:
             object.__setattr__(
                 self, "cameras",
@@ -87,6 +106,10 @@ class RigConfig:
         if len(self.cameras) != self.num_cameras:
             raise ValueError(
                 f"{len(self.cameras)} intrinsics for {self.num_cameras} cameras")
+
+    def image_hw(self) -> tuple:
+        """(H, W) frame shape — square configs return (s, s)."""
+        return _image_hw(self.image_size)
 
     def body_template(self):
         """``rigid_general.BodyTemplate`` for ``body_markers``, or None."""

@@ -329,7 +329,7 @@ def _compiled_run(rig: RigConfig, cfg: EngineConfig, packed: bool,
             blobs, bvalid = frames
         elif sparse:
             f = detect.scatter_pixels(
-                frames, (rig.num_cameras, rig.image_size, rig.image_size))
+                frames, (rig.num_cameras, *rig.image_hw()))
             thr = 0.5
         elif packed:
             f = detect.unpack_bits(frames)

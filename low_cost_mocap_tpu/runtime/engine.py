@@ -221,7 +221,7 @@ class Engine:
         # with self._step as the bit-exact dense fallback.
         self._step_sparse = jax.jit(functools.partial(
             _step_packed, sparse_input=True,
-            image_shape=(rig.num_cameras, rig.image_size, rig.image_size),
+            image_shape=(rig.num_cameras, *rig.image_hw()),
             **_common), donate_argnums=(0,)) if self._fast else None
         # Camera-sharded mesh variant: ingest + detection per device shard,
         # centroids all_gathered, tail replicated (parallel/dist_pipeline).

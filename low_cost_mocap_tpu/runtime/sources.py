@@ -20,7 +20,7 @@ from low_cost_mocap_tpu.utils import synthetic as syn
 
 class FrameSource(Protocol):
     num_cameras: int
-    image_size: int
+    image_size: object  # int (square) or (H, W)
 
     def read(self) -> np.ndarray:
         """Returns (C, H, W) uint8 frames."""
@@ -164,7 +164,8 @@ class RecordedSource:
         self.frames = data["frames"]
         assert self.frames.ndim == 4
         self.num_cameras = self.frames.shape[1]
-        self.image_size = self.frames.shape[2]
+        h, w = self.frames.shape[2], self.frames.shape[3]
+        self.image_size = h if h == w else (h, w)
         self._i = 0
 
     def read(self) -> np.ndarray:
@@ -184,14 +185,20 @@ class PseyepySource:
 
     Mirrors the reference's acquisition setup: 90 fps, RES_SMALL, gain 10,
     exposure 100 (``computer_code/api/helpers.py:24``) with per-camera
-    display rotation + square padding (``helpers.py:71-73,507-523``).
+    display rotation (``helpers.py:71-73``).  The reference then pads every
+    rotated frame square (``helpers.py:507-523``); here the output shape is
+    whatever ``rig.image_hw()`` says — configure ``image_size=(320, 240)``
+    to run the rotated sensor frame unpadded (no wasted detection columns),
+    or keep a square size for reference-compatible padding.  Frames
+    larger than the target on an axis are centre-cropped, smaller ones
+    centre-padded (the reference's centring, generalised per-axis).
     """
 
     def __init__(self, rig: RigConfig, fps: int = 90, gain: int = 10,
                  exposure: int = 100):
         try:
             from pseyepy import Camera  # type: ignore
-        except ImportError as e:  # pragma: no cover - hardware path
+        except ImportError as e:
             raise RuntimeError(
                 "pseyepy is not installed; use SyntheticSource or "
                 "RecordedSource") from e
@@ -201,26 +208,35 @@ class PseyepySource:
         self.num_cameras = rig.num_cameras
         self.image_size = rig.image_size
 
-    def read(self) -> np.ndarray:  # pragma: no cover - hardware path
+    def read(self) -> np.ndarray:
         frames, _ = self._cam.read()
-        out = np.zeros((self.num_cameras, self.image_size, self.image_size),
-                       np.uint8)
+        H, W = self.rig.image_hw()
+        out = np.zeros((self.num_cameras, H, W), np.uint8)
         for i in range(self.num_cameras):
-            f = np.rot90(np.asarray(frames[i]),
-                         k=self.rig.cameras[i].rotation)
+            f = np.asarray(frames[i])
             if f.ndim == 3:
                 f = f.mean(axis=-1).astype(np.uint8)
+            f = np.rot90(f, k=self.rig.cameras[i].rotation)
             h, w = f.shape
-            s = self.image_size
-            y0 = (s - h) // 2
-            x0 = (s - w) // 2
-            out[i, y0:y0 + h, x0:x0 + w] = f[:s, :s]
+            # centre-crop any axis that exceeds the target...
+            if h > H:
+                y = (h - H) // 2
+                f = f[y:y + H]
+                h = H
+            if w > W:
+                x = (w - W) // 2
+                f = f[:, x:x + W]
+                w = W
+            # ...and centre-pad the rest (reference helpers.py:507-523)
+            y0 = (H - h) // 2
+            x0 = (W - w) // 2
+            out[i, y0:y0 + h, x0:x0 + w] = f
         return out
 
-    def set_settings(self, exposure: float, gain: float) -> None:  # pragma: no cover
+    def set_settings(self, exposure: float, gain: float) -> None:
         n = self.num_cameras
         self._cam.exposure = [int(exposure)] * n
         self._cam.gain = [int(gain)] * n
 
-    def close(self) -> None:  # pragma: no cover
+    def close(self) -> None:
         self._cam.end()

@@ -36,14 +36,14 @@ def load_recording(path: str):
 
 def record_synthetic(path: str, *, num_cameras: int = 4, T: int = 120,
                      fps: float = 60.0, num_drones: int = 1,
-                     image_size: int = 320, seed: int = 0) -> None:
+                     image_size=320, seed: int = 0) -> None:
     """Render a synthetic drone recording with ground-truth tracks."""
     from low_cost_mocap_tpu.utils import synthetic as syn
 
     Rs, ts, rig = syn.ring_rig(num_cameras=num_cameras,
                                image_size=image_size)
     rng = np.random.default_rng(seed)
-    frames = np.zeros((T, num_cameras, image_size, image_size), np.uint8)
+    frames = np.zeros((T, num_cameras, *rig.image_hw()), np.uint8)
     truth = np.zeros((T, num_drones, 3), np.float32)
     for t in range(T):
         markers = []

@@ -157,15 +157,29 @@ def load_reference(path: str = REFERENCE_API_DIR, num_cameras: int = 4):
     loaded["KalmanFilter"].time = clock
     # The reference passes a flat (6,) measurement to cv.KalmanFilter.correct
     # (``KalmanFilter.py:82``), which OpenCV 4 accepted; OpenCV 5 requires a
-    # column vector.  Shim the module's ``cv`` binding with a subclass whose
-    # ``correct`` reshapes to (6, 1) — semantics unchanged.
+    # column vector.  Shim the module's ``cv`` binding with a wrapper whose
+    # ``correct`` reshapes to (6, 1) — semantics unchanged.  Composition,
+    # not subclassing: a Python subclass of the cv2 extension type leaves a
+    # GC cycle whose teardown segfaults the interpreter at shutdown.
     import cv2 as _cv
 
-    class _CompatKalman(_cv.KalmanFilter):
+    class _CompatKalman:
+        def __init__(self, *args, **kwargs):
+            object.__setattr__(self, "_kf", _cv.KalmanFilter(*args, **kwargs))
+
+        def predict(self, *args):
+            return self._kf.predict(*args)
+
         def correct(self, measurement):
             import numpy as _np
             m = _np.asarray(measurement, _np.float32).reshape(-1, 1)
-            return super().correct(m)
+            return self._kf.correct(m)
+
+        def __getattr__(self, name):
+            return getattr(object.__getattribute__(self, "_kf"), name)
+
+        def __setattr__(self, name, value):
+            setattr(self._kf, name, value)
 
     # cv.KalmanFilter is the module's ONLY cv use (KalmanFilter.py:1,22)
     loaded["KalmanFilter"].cv = types.SimpleNamespace(

@@ -34,7 +34,7 @@ def look_at(eye: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)):
 
 
 def ring_rig(num_cameras: int = 4, radius: float = 2.5, height: float = 1.8,
-             image_size: int = 320, target=(0.0, 0.0, 0.5)):
+             image_size=320, target=(0.0, 0.0, 0.5)):
     """Cameras on a ring, all aimed at ``target``. Returns (Rs, ts, rig)."""
     Rs, ts = [], []
     for i in range(num_cameras):
@@ -84,25 +84,28 @@ def observe(X: np.ndarray, Rs, ts, rig: RigConfig, noise_px: float = 0.0,
     if noise_px > 0:
         assert rng is not None
         pts = pts + rng.normal(scale=noise_px, size=pts.shape).astype(np.float32)
-    s = rig.image_size
-    mask = np.all((pts >= 0.0) & (pts <= s - 1.0), axis=-1)
+    h, w = rig.image_hw()
+    mask = ((pts[..., 0] >= 0.0) & (pts[..., 0] <= w - 1.0)
+            & (pts[..., 1] >= 0.0) & (pts[..., 1] <= h - 1.0))
     return pts, mask
 
 
-def render_frames(pts_px: np.ndarray, mask: np.ndarray, image_size: int,
+def render_frames(pts_px: np.ndarray, mask: np.ndarray, image_size,
                   sigma: float = 1.5, amplitude: float = 1.0) -> np.ndarray:
     """Render Gaussian blobs into (C, H, W) float32 frames in [0, 1].
 
-    pts_px: (N, C, 2) pixel centres; mask: (N, C).  Only a small window
-    around each blob is evaluated (the tail beyond 5 sigma is < 4e-6, far
-    under the 8-bit quantisation floor), so rendering is O(blobs) rather
-    than O(blobs * pixels) — this runs per frame in the live synthetic
-    source.
+    pts_px: (N, C, 2) pixel centres; mask: (N, C); image_size: int
+    (square) or (H, W).  Only a small window around each blob is evaluated
+    (the tail beyond 5 sigma is < 4e-6, far under the 8-bit quantisation
+    floor), so rendering is O(blobs) rather than O(blobs * pixels) — this
+    runs per frame in the live synthetic source.
     """
+    from low_cost_mocap_tpu.config import _image_hw
+
     N, C, _ = pts_px.shape
-    S = image_size
+    H, W = _image_hw(image_size)
     r = max(int(np.ceil(5.0 * sigma)), 2)
-    frames = np.zeros((C, S, S), np.float32)
+    frames = np.zeros((C, H, W), np.float32)
     for c in range(C):
         for n in range(N):
             if not mask[n, c]:
@@ -110,8 +113,8 @@ def render_frames(pts_px: np.ndarray, mask: np.ndarray, image_size: int,
             x0, y0 = pts_px[n, c]
             xa, xb = int(np.floor(x0)) - r, int(np.floor(x0)) + r + 1
             ya, yb = int(np.floor(y0)) - r, int(np.floor(y0)) + r + 1
-            xa_c, xb_c = max(xa, 0), min(xb, S)
-            ya_c, yb_c = max(ya, 0), min(yb, S)
+            xa_c, xb_c = max(xa, 0), min(xb, W)
+            ya_c, yb_c = max(ya, 0), min(yb, H)
             if xa_c >= xb_c or ya_c >= yb_c:
                 continue
             gx = np.arange(xa_c, xb_c, dtype=np.float32)
