@@ -30,6 +30,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -97,17 +98,20 @@ def main():
         return state, time.perf_counter() - t0
 
     def measure_perframe(state):
-        # best-of-5 windows; the whole pass repeats AFTER the batched
-        # section below so the per-frame estimate samples two
-        # congestion windows of the shared tunnel ~2 min apart (bursts
-        # last minutes — best-of within one burst can't escape it)
+        # best-of-5 windows; the pass repeats at several points across the
+        # bench's timeline (separated by the batched compile and a
+        # deliberate idle gap) so the estimate samples multiple congestion
+        # windows of the shared tunnel (bursts last minutes — best-of
+        # within one burst can't escape it)
         n_iters, best = 200, float("inf")
         for _ in range(5):
             state, elapsed = run_window(state, n_iters)
             best = min(best, elapsed)
         return state, n_iters / best
 
-    state, fps = measure_perframe(state)
+    pf_samples = []
+    state, fps1 = measure_perframe(state)
+    pf_samples.append(fps1)
 
     # ---- batched-dispatch serving mode (EngineConfig.dispatch_batch) ----
     # ONE XLA program per B frames (models/pipeline.scan_track_from_blobs):
@@ -159,25 +163,56 @@ def main():
         jax.block_until_ready(out)
         return st, time.perf_counter() - t0
 
-    n_disp, best_b = 32, float("inf")
-    for _ in range(5):
-        bstate, elapsed = run_window_b(bstate, n_disp)
-        best_b = min(best_b, elapsed)
-    fps_b = n_disp * B / best_b
+    def measure_batched(st):
+        n_disp, best = 32, float("inf")
+        for _ in range(5):
+            st, elapsed = run_window_b(st, n_disp)
+            best = min(best, elapsed)
+        return st, n_disp * B / best
 
-    # second per-frame pass (see measure_perframe)
-    _, fps2 = measure_perframe(bstate)
-    fps = max(fps, fps2)
+    # Sample each mode at several points across the bench timeline —
+    # congestion bursts on the shared tunnel last minutes, so passes are
+    # spread over the compile gaps plus one deliberate idle gap.  The
+    # reported value is the max across passes (min-time estimator under
+    # one-sided noise); ``spread``/``batched_spread`` report
+    # (max-min)/max across passes so a congestion-free run is
+    # distinguishable from a lucky one (spread small == the figure is
+    # reproducible, BENCH_r0N should land within it).
+    b_samples = []
+    bstate, fb1 = measure_batched(bstate)
+    b_samples.append(fb1)
+
+    bstate, fps2 = measure_perframe(bstate)
+    pf_samples.append(fps2)
+
+    bstate, fb2 = measure_batched(bstate)
+    b_samples.append(fb2)
+
+    if not os.environ.get("LCM_BENCH_FAST"):
+        time.sleep(45.0)   # step past a possible congestion burst edge
+
+    bstate, fb3 = measure_batched(bstate)
+    b_samples.append(fb3)
+    _, fps3 = measure_perframe(bstate)
+    pf_samples.append(fps3)
+
+    fps = max(pf_samples)
+    fps_b = max(b_samples)
+
+    def spread(samples):
+        return round((max(samples) - min(samples)) / max(samples), 3)
 
     print(json.dumps({
         "metric": "mocap_frames_per_s_per_chip_4cam_320px",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 3),
+        "spread": spread(pf_samples),
         "batched_value": round(fps_b, 2),
         "batched_unit": "frames/s",
         "dispatch_batch": B,
         "batched_vs_baseline": round(fps_b / 150.0, 3),
+        "batched_spread": spread(b_samples),
     }))
 
 
