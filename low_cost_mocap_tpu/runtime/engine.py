@@ -67,6 +67,13 @@ class Engine:
         self.cfg = cfg
         self.source = source
         self.link = link
+        if hasattr(link, "on_health"):
+            # command-link health (PyserialLink): surface state changes as a
+            # ``link-health`` event and mirror a stall as a local disarm —
+            # the firmware's 2 s ping failsafe (receiver_esp32.ino:213-215)
+            # has cut the motors by then, and dropping the armed mirror
+            # stops queueing pose feeds a wedged dongle will never send.
+            link.on_health = self._on_link_health
         explicit_no_fast = fast_path is False   # caller asked for dense
         if fast_path is None:
             fast_path = jax.default_backend() != "cpu"
@@ -758,6 +765,12 @@ class Engine:
                        "error": None})
 
         threading.Thread(target=capture, daemon=True).start()
+
+    def _on_link_health(self, health: dict) -> None:
+        if health.get("state") == "stalled" and any(self.drone_armed):
+            self.drone_armed = [False] * len(self.drone_armed)
+            health = dict(health, disarmed=True)
+        self.emit("link-health", health)
 
     def handle_arm_drone(self, data):
         # computer_code/api/index.py:114-128

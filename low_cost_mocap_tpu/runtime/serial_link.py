@@ -88,20 +88,140 @@ class LoopbackLink:
 
 
 class PyserialLink:
-    """Real 1 Mbaud dongle link (``computer_code/api/index.py:21``)."""
+    """Real 1 Mbaud dongle link (``computer_code/api/index.py:21``).
 
-    def __init__(self, device: str, baud: int = 1_000_000):
-        try:
-            import serial  # type: ignore
-        except ImportError as e:  # pragma: no cover - hardware path
-            raise RuntimeError("pyserial is not installed") from e
-        self._ser = serial.Serial(device, baud, write_timeout=1)
-        self._lock = threading.Lock()
+    ``send`` is NON-blocking: frames go to a writer thread, so a wedged
+    dongle can never throttle the vision loop (the reference writes
+    inline under a lock with a 1 s write timeout — ``helpers.py:113-122``,
+    ``index.py:21`` — which turns a stuck dongle into a ~1 fps pipeline).
+    Queueing policy:
 
-    def send(self, drone_index: int, payload: dict) -> None:  # pragma: no cover
-        with self._lock:
-            self._ser.write(f"{drone_index}{json.dumps(payload)}".encode())
-            time.sleep(0.001)  # pacing as the reference does (helpers.py:122)
+    - command frames (armed / pid / trim / setpoint) queue FIFO and are
+      re-queued at the front on a write failure — they must not be lost;
+    - pose+vel feeds occupy a LATEST-ONLY slot per drone — a recovering
+      dongle resumes with the current pose, never a backlog of stale ones.
 
-    def close(self) -> None:  # pragma: no cover
+    Health: after ``stall_after_s`` without a successful write the state
+    flips to "stalled" and ``on_health`` fires (the engine surfaces it as
+    a ``link-health`` event and disarms its local arm mirror — the
+    firmware's own 2 s ping failsafe, ``receiver_esp32.ino:213-215``, has
+    by then cut the motors anyway).  A later successful write flips back
+    to "ok".
+
+    ``serial_module`` injects a fake for tests (hardware-free coverage of
+    the framing, pacing, stall and recovery paths).
+    """
+
+    def __init__(self, device: str, baud: int = 1_000_000, *,
+                 serial_module=None, write_timeout: float = 0.25,
+                 stall_after_s: float = 0.5, on_health=None,
+                 pacing_s: float = 0.001):
+        if serial_module is None:  # pragma: no cover - hardware path
+            try:
+                import serial as serial_module  # type: ignore
+            except ImportError as e:
+                raise RuntimeError("pyserial is not installed") from e
+        self._ser = serial_module.Serial(device, baud,
+                                         write_timeout=write_timeout)
+        self.on_health = on_health
+        self._stall_after_s = float(stall_after_s)
+        self._pacing_s = float(pacing_s)
+        self._cv = threading.Condition()
+        self._cmd_q: list[bytes] = []
+        self._pose: dict[int, bytes] = {}
+        self._state = "ok"
+        self._errors = 0
+        self._sent = 0
+        self._last_ok = time.monotonic()
+        self._stop = False
+        self._thread = threading.Thread(target=self._writer, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ public
+
+    def send(self, drone_index: int, payload: dict) -> None:
+        frame = f"{drone_index}{json.dumps(payload)}".encode()
+        with self._cv:
+            if "pos" in payload:
+                self._pose[int(drone_index)] = frame
+            else:
+                self._cmd_q.append(frame)
+                if len(self._cmd_q) > 256:   # bounded: drop oldest
+                    self._cmd_q.pop(0)
+            self._cv.notify()
+
+    def health(self) -> dict:
+        with self._cv:
+            return {
+                "state": self._state,
+                "consecutive_errors": self._errors,
+                "sent": self._sent,
+                "since_last_ok_s": time.monotonic() - self._last_ok,
+                "queued_commands": len(self._cmd_q),
+                "queued_poses": len(self._pose),
+            }
+
+    def flush(self, timeout: float = 1.0) -> bool:
+        """Wait until both queues drain (tests / orderly shutdown)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._cv:
+                if not self._cmd_q and not self._pose:
+                    return True
+            time.sleep(0.002)
+        return False
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=2.0)
         self._ser.close()
+
+    # ------------------------------------------------------------ writer
+
+    def _set_state(self, state: str) -> None:
+        fire = None
+        with self._cv:
+            if state != self._state:
+                self._state = state
+                fire = self.on_health
+        if fire is not None:
+            fire(self.health())
+
+    def _writer(self) -> None:
+        while True:
+            with self._cv:
+                while (not self._stop and not self._cmd_q
+                       and not self._pose):
+                    self._cv.wait(0.1)
+                if self._stop:
+                    return
+                is_cmd = bool(self._cmd_q)
+                if is_cmd:
+                    frame = self._cmd_q.pop(0)
+                else:
+                    frame = self._pose.pop(next(iter(self._pose)))
+            try:
+                self._ser.write(frame)
+                if self._pacing_s:
+                    # pacing as the reference does (helpers.py:122)
+                    time.sleep(self._pacing_s)
+                with self._cv:
+                    self._errors = 0
+                    self._sent += 1
+                    self._last_ok = time.monotonic()
+                self._set_state("ok")
+            except Exception:
+                with self._cv:
+                    self._errors += 1
+                    if is_cmd:        # commands must survive a hiccup
+                        self._cmd_q.insert(0, frame)
+                    stalled = (time.monotonic() - self._last_ok
+                               > self._stall_after_s)
+                if stalled:
+                    self._set_state("stalled")
+                # real writes block for write_timeout before failing; a
+                # fast-failing (unplugged) device needs explicit backoff so
+                # the retry loop doesn't spin a core
+                time.sleep(0.01)

@@ -189,3 +189,98 @@ def test_failure_injection_frozen_camera_and_blob_dropout():
     pos, vel, _ = link.drone_state(0)
     assert np.linalg.norm(pos - np.asarray(target)) < 0.05, pos
     assert np.linalg.norm(vel) < 0.1, vel
+
+
+@pytest.mark.slow
+def test_armed_flight_survives_link_stall():
+    """Wedge the dongle mid-flight: the vision loop must NOT throttle (the
+    old inline serial write blocked up to 1 s per armed frame), the link
+    must report stalled (engine emits link-health + drops its armed
+    mirror), and the firmware's 2 s ping failsafe must cut the motors —
+    the drone falls instead of flying blind on stale setpoints
+    (receiver_esp32.ino:213-215)."""
+    import json as _json
+    import time as _time
+    import types as _types
+
+    from low_cost_mocap_tpu.runtime.serial_link import PyserialLink
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    loop = LoopbackLink(1)
+    loop.sims[0].set_state([0.15, -0.1, 0.07])
+
+    class BridgeSerial:
+        """The USB dongle, faithfully: serial frames in, command link out
+        (sender_esp32.ino:70-88) — wedgeable."""
+
+        def __init__(self, device, baud, write_timeout=0.25):
+            self.wedged = False
+
+        def write(self, b):
+            if self.wedged:
+                _time.sleep(0.005)
+                raise TimeoutError("write timeout (wedged dongle)")
+            loop.send(int(chr(b[0])), _json.loads(b[1:].decode()))
+
+        def close(self):
+            pass
+
+    mod = _types.ModuleType("serial")
+    insts = []
+
+    def Serial(device, baud, write_timeout=0.25):
+        inst = BridgeSerial(device, baud, write_timeout)
+        insts.append(inst)
+        return inst
+
+    mod.Serial = Serial
+    link = PyserialLink("/dev/fake", serial_module=mod, pacing_s=0.0,
+                        stall_after_s=0.3)
+    source = SimulatedRigSource(rig, Rs, ts, loop)
+    eng = Engine(rig, EngineConfig(), source, link)
+    health = []
+    eng.on("link-health", health.append)
+
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    eng.handle("set-drone-pid", {"droneIndex": 0, "dronePID": pid})
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": [0.0, 0.0, 0.5]})
+    assert link.flush(2.0)
+
+    fps = 60.0
+    wedge_start, wedge_end = int(14 * fps), int(18 * fps)
+    frame_wall = []
+    for f in range(int(19 * fps)):
+        if f == wedge_start:
+            pos, _, _ = loop.drone_state(0)
+            assert pos[2] > 0.35, f"not airborne before stall: {pos}"
+            insts[0].wedged = True
+        t0 = _time.perf_counter()
+        eng.process_frame(source.read(), 1.0 / fps)
+        if f >= wedge_start:
+            frame_wall.append(_time.perf_counter() - t0)
+        for _ in range(5):
+            loop.tick(1.0 / fps / 5)
+        # UI keepalive until the UI sees the disarm notice
+        if f % 30 == 0 and not any(h.get("disarmed") for h in health):
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+
+    # vision loop never throttled during the stall (old inline write:
+    # ~1 s per armed frame)
+    assert np.mean(frame_wall) < 0.1, np.mean(frame_wall)
+    assert np.max(frame_wall) < 0.5, np.max(frame_wall)
+    # link health surfaced + engine dropped its armed mirror
+    assert any(h["state"] == "stalled" for h in health)
+    assert any(h.get("disarmed") for h in health)
+    assert eng.drone_armed == [False, False]
+    # firmware failsafe cut the motors: the drone fell
+    pos, _, _ = loop.drone_state(0)
+    assert pos[2] < 0.25, f"failsafe did not cut motors: {pos}"
+    link.close()
