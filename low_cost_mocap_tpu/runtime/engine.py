@@ -157,6 +157,7 @@ class Engine:
         self._pending = collections.deque()  # in-flight async readbacks
         self.timer = StageTimer()
         self._listeners: dict[str, list[Callable[[Any], None]]] = {}
+        self._traj: dict | None = None   # run-trajectory state machine
         self._thread: threading.Thread | None = None
         self._running = False
         self._last_frames: np.ndarray | None = None
@@ -772,6 +773,98 @@ class Engine:
             health = dict(health, disarmed=True)
         self.emit("link-health", health)
 
+    def handle_run_trajectory(self, data):
+        """Execute a planned trajectory with the reference's fly-to-start
+        gate (``src/App.tsx:299-324,696-732``): first command every drone
+        to the plan's FIRST setpoint and hold until each tracked position
+        arrives within ``arrivalTol`` metres, then drip the setpoints at
+        ``timestep`` cadence.  Without the gate a plan starting away from
+        the drone commands a step input.  The reference runs this loop in
+        the browser; here it is server-side (advanced once per processed
+        frame, so it is deterministic in SIL tests and survives UI
+        disconnects).  Emits ``trajectory-status`` phase events:
+        fly-to-start -> executing -> done (or aborted/stopped)."""
+        if data.get("startOrStop") == "stop":
+            if self._traj is not None:
+                self._traj = None
+                self.emit("trajectory-status", {"phase": "stopped"})
+            return
+        sps = [[float(x) for x in sp] for sp in data["setpoints"]]
+        n = self.rig.num_objects
+        if not sps or any(len(sp) != 3 * n for sp in sps):
+            raise ValueError(
+                f"setpoints must be non-empty rows of {3 * n} floats")
+        drones = [int(d) for d in data.get("droneIndices", range(n))]
+        self._traj = {
+            "setpoints": sps,
+            "timestep": float(data.get("timestep", 0.05)),
+            "drones": drones,
+            "tol": float(data.get("arrivalTol", 0.15)),
+            "timeout": float(data.get("arrivalTimeout", 20.0)),
+            "phase": "fly-to-start", "t": 0.0, "idx": -1,
+            "wait": 0.0, "resend": 0.0,
+        }
+        for d in drones:
+            self.link.send(d, {"setpoint": sps[0][3 * d:3 * d + 3]})
+        self.emit("trajectory-status",
+                  {"phase": "fly-to-start", "setpoints": len(sps)})
+
+    def _advance_trajectory(self, out, dt: float) -> None:
+        """One tick of the run-trajectory state machine (per processed
+        frame; ``out`` supplies the tracked positions for the arrival
+        gate)."""
+        tr = self._traj
+        if tr is None:
+            return
+        sps = tr["setpoints"]
+        if tr["phase"] == "fly-to-start":
+            tr["wait"] += dt
+            tr["resend"] += dt
+            tv = np.asarray(out.tracked.valid)
+            tp = np.asarray(out.tracked.pos)
+            arrived = True
+            for d in tr["drones"]:
+                target = np.asarray(sps[0][3 * d:3 * d + 3])
+                if not (d < len(tv) and tv[d]):
+                    arrived = False
+                    break
+                # engine world [x, up, z] -> firmware [x, y, alt]
+                # (same mapping as the armed pose feed below)
+                fw = np.array([tp[d][0], tp[d][2], tp[d][1]])
+                if np.linalg.norm(fw - target) > tr["tol"]:
+                    arrived = False
+                    break
+            if arrived:
+                tr["phase"] = "executing"
+                tr["t"] = 0.0
+                tr["idx"] = 0   # sps[0] was asserted by the gate itself
+                self.emit("trajectory-status",
+                          {"phase": "executing",
+                           "waited_s": round(tr["wait"], 3)})
+            elif tr["wait"] > tr["timeout"]:
+                self._traj = None
+                self.emit("trajectory-status",
+                          {"phase": "aborted",
+                           "reason": "fly-to-start timeout"})
+            elif tr["resend"] >= 0.5:
+                # keep asserting the start setpoint (UI-drip cadence)
+                tr["resend"] = 0.0
+                for d in tr["drones"]:
+                    self.link.send(d, {"setpoint": sps[0][3 * d:3 * d + 3]})
+            return
+        tr["t"] += dt
+        # drip EVERY index up to the elapsed-time target — never skip a
+        # setpoint to float accumulation (dt == timestep must send all)
+        target = min(int(tr["t"] / tr["timestep"] + 1e-6), len(sps) - 1)
+        while tr["idx"] < target:
+            tr["idx"] += 1
+            for d in tr["drones"]:
+                self.link.send(
+                    d, {"setpoint": sps[tr["idx"]][3 * d:3 * d + 3]})
+        if tr["idx"] >= len(sps) - 1:
+            self._traj = None
+            self.emit("trajectory-status", {"phase": "done"})
+
     def handle_arm_drone(self, data):
         # computer_code/api/index.py:114-128
         self.drone_armed = list(data["droneArmed"])
@@ -1039,6 +1132,7 @@ class Engine:
             set_of_slot = self._body_set_of_slot
 
         self._emit_frame_outputs(out, set_of_slot)
+        self._advance_trajectory(out, float(dt))
         with self._frame_lock:
             self._last_out = out
         return out
@@ -1061,7 +1155,7 @@ class Engine:
             self._batch_buf = []
             self._kalman_state, packed_rows = dispatch(pb, dl)
             outs, set_of_slot = self._decode_batch_rows(packed_rows)
-        return self._emit_batch_outs(outs, set_of_slot)
+        return self._emit_batch_outs(outs, set_of_slot, dts=dl)
 
     def _decode_batch_rows(self, packed_rows):
         """Decode a batched dispatch's (B, L) packed rows into per-frame
@@ -1075,11 +1169,13 @@ class Engine:
             with_obs=True) for i in range(rows.shape[0])]
         return outs, self._body_set_of_slot
 
-    def _emit_batch_outs(self, outs, set_of_slot):
+    def _emit_batch_outs(self, outs, set_of_slot, dts=None):
         """Emit a completed batch's outputs in frame order (outside the
         model lock) and return the newest one."""
-        for o in outs:
+        for i, o in enumerate(outs):
             self._emit_frame_outputs(o, set_of_slot)
+            if dts is not None:
+                self._advance_trajectory(o, float(dts[i]))
         with self._frame_lock:
             self._last_out = outs[-1]
         return outs[-1]

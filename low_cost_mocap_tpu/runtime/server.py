@@ -163,7 +163,8 @@ class MocapServer:
         for ev in ("image-points", "object-points", "camera-pose",
                    "to-world-coords-matrix", "fps", "metrics",
                    "engine-error", "body-template", "profile", "recording",
-                   "camera-health", "camera-intrinsics", "intrinsics-views"):
+                   "camera-health", "camera-intrinsics", "intrinsics-views",
+                   "trajectory-status", "link-health"):
             engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
 
     # -------------------------------------------------------------- wiring

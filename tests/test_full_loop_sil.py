@@ -284,3 +284,80 @@ def test_armed_flight_survives_link_stall():
     pos, _, _ = loop.drone_state(0)
     assert pos[2] < 0.25, f"failsafe did not cut motors: {pos}"
     link.close()
+
+
+@pytest.mark.slow
+def test_trajectory_run_fly_to_start_in_flight():
+    """Full SIL: hover away from the plan start, issue run-trajectory, and
+    verify the fly-to-start gate (reference src/App.tsx:299-324,696-732):
+    execution begins only once the drone is AT the plan start, and during
+    execution the drone stays close to the commanded setpoint — a plan
+    starting 0.3 m away never turns into a step input mid-plan."""
+    from low_cost_mocap_tpu.models.trajectory import plan_waypoint_route
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    link = LoopbackLink(1)
+    link.sims[0].set_state([0.25, -0.15, 0.07])
+    source = SimulatedRigSource(rig, Rs, ts, link)
+    eng = Engine(rig, EngineConfig(), source, link)
+    statuses = []
+    eng.on("trajectory-status", statuses.append)
+
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    eng.handle("set-drone-pid", {"droneIndex": 0, "dronePID": pid})
+    hover = [0.25, -0.15, 0.5]
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": hover})
+
+    # plan: start at [0,0,0.5] (0.3 m from the hover), line to [0.3,0.2,0.5]
+    n = rig.num_objects
+    way0 = [0.0, 0.0, 0.5] + [0.0] * 3 * (n - 1) + [True]
+    way1 = [0.3, 0.2, 0.5] + [0.0] * 3 * (n - 1) + [True]
+    sps = plan_waypoint_route([way0, way1], [0.15] * 3, [0.5] * 3,
+                              [1.0] * 3, 0.05, num_objects=n)
+
+    fps = 60.0
+    started = None
+    exec_err = []
+    for f in range(int(36 * fps)):
+        out = eng.process_frame(source.read(), 1.0 / fps)
+        for _ in range(5):
+            link.tick(1.0 / fps / 5)
+        if f % 30 == 0:
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+        if f == int(12 * fps):
+            pos, _, _ = link.drone_state(0)
+            assert np.linalg.norm(pos - np.asarray(hover)) < 0.1, pos
+            eng.handle("run-trajectory", {
+                "setpoints": sps, "timestep": 0.05, "droneIndices": [0],
+                "arrivalTol": 0.12, "arrivalTimeout": 15.0})
+        if statuses and statuses[-1]["phase"] == "executing":
+            if started is None:
+                started = f
+                pos, _, _ = link.drone_state(0)
+                # the gate held until the drone reached the plan START
+                assert np.linalg.norm(pos - np.asarray(way0[:3])) < 0.15, pos
+            tr = eng._traj
+            if tr is not None and tr["idx"] >= 0:
+                sp = np.asarray(sps[tr["idx"]][:3])
+                pos, _, _ = link.drone_state(0)
+                exec_err.append(np.linalg.norm(pos - sp))
+
+    assert started is not None, [s["phase"] for s in statuses]
+    phases = [s["phase"] for s in statuses]
+    assert phases[0] == "fly-to-start" and "done" in phases
+    # no step input: during execution the tracking error stays bounded by
+    # the P-controller's intrinsic following lag (~vmax/kp = 0.19 m at
+    # these gains) + the arrival tolerance — far below the 0.36 m step
+    # (growing toward ~0.7 m against the moving drip) that running the
+    # plan from the hover without the gate would command
+    assert np.max(exec_err) < 0.28, np.max(exec_err)
+    pos, vel, _ = link.drone_state(0)
+    assert np.linalg.norm(pos - np.asarray(way1[:3])) < 0.08, pos
