@@ -361,3 +361,96 @@ def test_trajectory_run_fly_to_start_in_flight():
     assert np.max(exec_err) < 0.28, np.max(exec_err)
     pos, vel, _ = link.drone_state(0)
     assert np.linalg.norm(pos - np.asarray(way1[:3])) < 0.08, pos
+
+
+class _JitterLink:
+    """Wraps the loopback link, delaying POSE feeds by a random number of
+    extra vision frames — the sim-time model of tunnel dispatch jitter
+    (measured p50 31.7 / p99 53.6 ms ≈ 2-3 frames at 60 fps,
+    benchmarks/SCALING.md §2).  Commands pass through immediately."""
+
+    def __init__(self, inner, rng, max_extra=2, p=(0.5, 0.35, 0.15)):
+        self.inner = inner
+        self.rng = rng
+        self.choices = list(range(max_extra + 1))
+        self.p = p
+        self._q = []
+
+    def send(self, drone_index, payload):
+        if "pos" in payload:
+            delay = int(self.rng.choice(self.choices, p=self.p))
+            self._q.append([delay, drone_index, payload])
+        else:
+            self.inner.send(drone_index, payload)
+
+    def tick_frame(self):
+        keep = []
+        for item in self._q:
+            if item[0] <= 0:
+                self.inner.send(item[1], item[2])
+            else:
+                item[0] -= 1
+                keep.append(item)
+        self._q = keep
+
+    def close(self):
+        pass
+
+
+def _hover_with_stale_poses(depth, jitter_frames, seconds=30.0):
+    """SIL hover with readback_pipeline_depth=depth + per-pose jitter.
+    Returns (final position error m, final |velocity|)."""
+    rng = np.random.default_rng(0)
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    loop = LoopbackLink(1)
+    loop.sims[0].set_state([0.25, -0.15, 0.07])
+    link = (_JitterLink(loop, rng, max_extra=jitter_frames)
+            if jitter_frames else loop)
+    source = SimulatedRigSource(rig, Rs, ts, loop)
+    eng = Engine(rig, EngineConfig(readback_pipeline_depth=depth),
+                 source, link)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    eng.handle("set-drone-pid", {"droneIndex": 0, "dronePID": pid})
+    target = [0.0, 0.0, 0.5]
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": target})
+    fps = 60.0
+    for f in range(int(seconds * fps)):
+        eng.process_frame(source.read(), 1.0 / fps)
+        if jitter_frames:
+            link.tick_frame()
+        for _ in range(5):
+            loop.tick(1.0 / fps / 5)
+        if f % 30 == 0:
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pos, vel, _ = loop.drone_state(0)
+    return (float(np.linalg.norm(pos - np.asarray(target))),
+            float(np.linalg.norm(vel)))
+
+
+@pytest.mark.slow
+def test_hover_stable_with_pipelined_readback_and_jitter():
+    """The engine's latency-hiding (readback_pipeline_depth) feeds the
+    cascade stale poses; the hover must still converge with depth=2 plus
+    tunnel-profile jitter (total pose age ~3-4 frames ≈ 50-70 ms) — the
+    configuration a tunneled chip actually serves with.  A deeper sweep
+    is recorded in benchmarks/SCALING.md (latency-robustness margin)."""
+    err, vel = _hover_with_stale_poses(depth=2, jitter_frames=2)
+    assert err < 0.08, err
+    assert vel < 0.15, vel
+
+
+@pytest.mark.slow
+def test_hover_stable_at_double_tunnel_latency():
+    """2x the tunnel's worst case (depth 6 ≈ 100 ms pose age + jitter):
+    the cascade still holds the hover — the stability margin is real."""
+    err, vel = _hover_with_stale_poses(depth=6, jitter_frames=2)
+    assert err < 0.12, err
+    assert vel < 0.2, vel
