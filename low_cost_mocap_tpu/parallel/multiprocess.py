@@ -76,7 +76,8 @@ def worker_main(argv=None) -> None:
     ap.add_argument("--n-cams", type=int, default=4)
     ap.add_argument("--max-iters", type=int, default=8)
     ap.add_argument("--solver",
-                    choices=("schur", "reference", "live-pipeline"),
+                    choices=("schur", "reference", "live-pipeline",
+                             "batched-sharded", "rts-assoc"),
                     default="schur")
     args = ap.parse_args(argv)
 
@@ -98,6 +99,12 @@ def worker_main(argv=None) -> None:
 
     if args.solver == "live-pipeline":
         _run_live_pipeline(args)
+        return
+    if args.solver == "batched-sharded":
+        _run_batched_sharded(args)
+        return
+    if args.solver == "rts-assoc":
+        _run_rts_assoc(args)
         return
 
     pts, mask, K, Rs0, ts0 = _build_scene(args.n_points, args.n_cams)
@@ -194,6 +201,139 @@ def _run_live_pipeline(args) -> None:
         "tracked_pos": tracked.tolist(),
         "tracked_valid": tvalid.tolist(),
         "n_points": int(np.asarray(out.point_valid).sum()),
+        "wall_s": wall,
+    }
+    tmp = args.out + f".tmp{args.process_id}"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, args.out)
+
+
+def _run_batched_sharded(args) -> None:
+    """Batched x camera-sharded SERVING step (dist_scan_frame_step) across
+    real process boundaries: B frames in ONE program, each rank ingesting
+    only its camera shard, packed (B, L) output rows replicated — the
+    high-throughput serving mode of a one-host-per-camera-group cluster."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from low_cost_mocap_tpu.config import EngineConfig
+    from low_cost_mocap_tpu.models.pipeline import (make_init_state,
+                                                    unpack_outputs)
+    from low_cost_mocap_tpu.ops import camera as cam_ops
+    from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
+    from low_cost_mocap_tpu.parallel import mesh as mesh_lib
+    from low_cost_mocap_tpu.parallel.dist_pipeline import dist_scan_frame_step
+    from low_cost_mocap_tpu.utils import synthetic as syn
+
+    B = 8
+    Rs, ts, rig = syn.ring_rig(num_cameras=args.n_cams)
+    cfg = EngineConfig()
+    frames_b = []
+    for f in range(B):   # drone drifting deterministically over the batch
+        X = syn.drone_markers(
+            np.array([0.1 + 0.004 * f, -0.1, 0.9], np.float32), 0.4, rig)
+        pts, mask = syn.observe(X, Rs, ts, rig)
+        frames_b.append(syn.render_frames(pts, mask, rig.image_size,
+                                          sigma=0.8))
+    frames_u8 = (np.stack(frames_b) * 255).astype(np.uint8)
+    K = jnp.asarray(rig.K_stack())
+    dist = jnp.asarray(rig.dist_stack())
+    Ps = cam_ops.projection_matrix(K, jnp.asarray(Rs), jnp.asarray(ts))
+    Fs = _pairwise_fundamentals(Ps)
+    mesh = mesh_lib.make_mesh({"cam": jax.device_count()})
+    dts = jnp.full((B,), 1.0 / 60.0, jnp.float32)
+
+    state = make_init_state(rig)
+    t0 = time.perf_counter()
+    state, rows = dist_scan_frame_step(
+        mesh, state, jnp.asarray(frames_u8), dts, Ps, K, dist,
+        jnp.eye(4, dtype=jnp.float32), Fs, rig, cfg)
+    rows = np.asarray(rows)
+    wall = time.perf_counter() - t0
+    outs = [unpack_outputs(rows[i], rig.num_cameras, cfg.max_blobs,
+                           rig.num_objects) for i in range(rows.shape[0])]
+    last = outs[-1]
+
+    result = {
+        "process_id": args.process_id,
+        "num_processes": args.num_processes,
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "solver": args.solver,
+        "rows_sha": __import__("hashlib").sha256(
+            rows.tobytes()).hexdigest(),
+        "tracked_pos": np.asarray(last.tracked.pos).tolist(),
+        "tracked_valid": np.asarray(last.tracked.valid).tolist(),
+        "frames_tracked": int(sum(
+            bool(np.asarray(o.tracked.valid).any()) for o in outs)),
+        "wall_s": wall,
+    }
+    tmp = args.out + f".tmp{args.process_id}"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, args.out)
+
+
+def _run_rts_assoc(args) -> None:
+    """Temporally-parallel RTS smoother (O(log T) associative scan) with
+    the sequence sharded over a real multi-process ``time`` mesh — the
+    offline long-recording analogue of context parallelism."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from low_cost_mocap_tpu.ops import kalman
+
+    T = 64
+    dt = 1.0 / 60.0
+    rng = np.random.default_rng(3)
+    t = np.arange(T) * dt
+    pos = np.stack([0.4 * np.sin(1.3 * t), 0.3 * np.cos(1.7 * t),
+                    0.6 + 0.1 * t], -1).astype(np.float32)
+    meas = pos + rng.normal(scale=0.004, size=pos.shape).astype(np.float32)
+
+    # forward filter pass (host loop, deterministic) -> per-frame (x, P)
+    st = kalman.init_state(1)
+    xs, Ps_cov = [], []
+    for z in meas:
+        st, (_out, x_f, P_f) = kalman.update(
+            st, jnp.asarray(z[None]), jnp.zeros((1,)),
+            jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), dt,
+            advance_on_miss=True, return_cov=True)
+        xs.append(np.asarray(x_f))       # (O=1, 9) per frame
+        Ps_cov.append(np.asarray(P_f))
+    xs = np.stack(xs)
+    Ps_cov = np.stack(Ps_cov)
+    dts = np.full(T, dt, np.float32)
+
+    mesh = Mesh(np.array(jax.devices()), ("time",))
+    sh = lambda spec: NamedSharding(mesh, spec)
+    xs_d = jax.device_put(jnp.asarray(xs), sh(P("time")))
+    Ps_d = jax.device_put(jnp.asarray(Ps_cov), sh(P("time")))
+    dts_d = jax.device_put(jnp.asarray(dts), sh(P("time")))
+    fn = jax.jit(lambda x, p, d: kalman.rts_smooth_assoc(x, p, d)[0])
+    t0 = time.perf_counter()
+    sm_g = fn(xs_d, Ps_d, dts_d)
+    jax.block_until_ready(sm_g)
+    wall = time.perf_counter() - t0
+    # the smoothed track is sharded over the global time mesh; gather the
+    # full array on every process for the invariance check
+    from jax.experimental import multihost_utils
+
+    sm = np.asarray(multihost_utils.process_allgather(sm_g, tiled=True))
+
+    result = {
+        "process_id": args.process_id,
+        "num_processes": args.num_processes,
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "solver": args.solver,
+        "smoothed": sm.tolist(),
+        "rmse_vs_truth_mm": float(np.sqrt(
+            ((sm[:, 0, :3] - pos) ** 2).mean()) * 1e3),
         "wall_s": wall,
     }
     tmp = args.out + f".tmp{args.process_id}"

@@ -56,3 +56,41 @@ def test_two_process_camera_sharded_live_step():
     assert np.abs(np.asarray(dist[0]["tracked_pos"])
                   - np.asarray(ref["tracked_pos"])).max() < 1e-5
     assert dist[0]["n_points"] == ref["n_points"]
+
+
+@pytest.mark.slow
+def test_two_process_batched_sharded_serving_step():
+    """The batched x camera-sharded SERVING mode (dist_scan_frame_step)
+    across REAL process boundaries: 8 frames in one program, packed rows
+    replicated bit-identically on every rank and matching the
+    single-process run."""
+    ref = run_cluster(1, local_devices=1, solver="batched-sharded",
+                      n_cams=4)[0]
+    dist = run_cluster(2, local_devices=2, solver="batched-sharded",
+                       n_cams=4)
+
+    assert dist[0]["global_devices"] == 4
+    # ranks agree bit-for-bit on the ENTIRE packed output batch
+    assert dist[0]["rows_sha"] == dist[1]["rows_sha"]
+    assert dist[0]["frames_tracked"] >= 7
+    # and the tracked result matches the single-process run
+    assert dist[0]["tracked_valid"] == ref["tracked_valid"]
+    assert np.abs(np.asarray(dist[0]["tracked_pos"])
+                  - np.asarray(ref["tracked_pos"])).max() < 1e-5
+
+
+@pytest.mark.slow
+def test_two_process_time_sharded_rts_smoother():
+    """rts_smooth_assoc (O(log T) associative-scan RTS) with the sequence
+    sharded over a real 2-process time mesh: every rank reproduces the
+    single-process smoothed track."""
+    ref = run_cluster(1, local_devices=1, solver="rts-assoc")[0]
+    dist = run_cluster(2, local_devices=2, solver="rts-assoc")
+
+    assert dist[0]["global_devices"] == 4
+    a = np.asarray(dist[0]["smoothed"])
+    b = np.asarray(dist[1]["smoothed"])
+    r = np.asarray(ref["smoothed"])
+    np.testing.assert_array_equal(a, b)          # replicated across ranks
+    assert np.abs(a - r).max() < 1e-4            # matches 1-process
+    assert dist[0]["rmse_vs_truth_mm"] < 5.0     # and it actually smooths
