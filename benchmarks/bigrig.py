@@ -124,12 +124,64 @@ def main():
         best_b = min(best_b, time.perf_counter() - t0)
     fps_b = n_disp * B / best_b
 
+    # ---- decomposition: where does the per-frame number come from? ----
+    # per-frame fps ~ 1 / (host_ingest + max(dispatch_floor, device_tail)):
+    # ingest is serial host work before each dispatch; the RPC issue and
+    # device compute pipeline against each other.  Separating the three
+    # terms makes a congested run self-explanatory (the floor balloons
+    # 3-10x under tunnel congestion; the device tail never moves).
+    import jax.numpy as _jnp
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    z = trivial(_jnp.zeros(())).block_until_ready()
+    n = 300
+    t0 = time.perf_counter()
+    for _ in range(n):
+        z = trivial(z)
+    jax.block_until_ready(z)
+    dispatch_floor_us = (time.perf_counter() - t0) / n * 1e6
+
+    t0 = time.perf_counter()
+    for _ in range(200):
+        ingest()
+    host_ingest_us = (time.perf_counter() - t0) / 200 * 1e6
+
+    # device tail: S per-frame steps scanned in ONE dispatch (sequential
+    # semantics, same HLOs as the per-frame program), floor subtracted
+    S = 64
+    packed_dev = _jnp.asarray(ingest())
+
+    def whole(st, _):
+        st, _out = track_from_blobs(st, packed_dev[..., :2],
+                                    packed_dev[..., 2] > 0.5, dt,
+                                    Ps, K, dist, M, Fs, **tail)
+        return st, None
+
+    scan_whole = jax.jit(
+        lambda st: jax.lax.scan(whole, st, None, length=S)[0])
+    dstate = make_init_state(rig)
+    dstate = scan_whole(dstate)
+    jax.block_until_ready(dstate)
+    best_d = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dstate = scan_whole(dstate)
+        jax.block_until_ready(dstate)
+        best_d = min(best_d, time.perf_counter() - t0)
+    device_tail_us = max(best_d * 1e6 - dispatch_floor_us, 0.0) / S
+
+    bound = (host_ingest_us
+             + max(dispatch_floor_us, device_tail_us)) / 1e6
     print(json.dumps({
         "metric": "bigrig_16cam_frames_per_s",
         "per_frame": round(fps, 1),
         "batched": round(fps_b, 1),
         "dispatch_batch": B,
         "matcher": "assoc",
+        "dispatch_floor_us": round(dispatch_floor_us, 1),
+        "device_tail_us": round(device_tail_us, 1),
+        "host_ingest_us": round(host_ingest_us, 1),
+        "per_frame_bound": round(1.0 / bound, 1),
     }))
 
 
