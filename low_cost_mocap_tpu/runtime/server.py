@@ -2,9 +2,14 @@
 
 Reproduces the reference's L4 surface (``computer_code/api/index.py``):
 
-  - Socket.IO events over WebSocket (13 client events, 5 server events —
-    SURVEY.md §2.3), speaking enough Engine.IO v4 / Socket.IO v5 for the
-    reference's React client in websocket-only mode;
+  - Socket.IO events over WebSocket (the reference's 13 client events —
+    SURVEY.md §2.3 — plus refine-camera-pose, learn-body-template,
+    calibrate-intrinsics, record-frames, capture-profile and
+    run-trajectory; server events: the reference's 5 plus metrics,
+    camera-health, body-template, profile, recording, camera-intrinsics,
+    intrinsics-views, trajectory-status, link-health and engine-error),
+    speaking enough Engine.IO v4 / Socket.IO v5 for the reference's React
+    client in websocket-only mode;
   - ``GET /api/camera-stream`` — multipart MJPEG montage
     (``computer_code/api/index.py:31-61``);
   - ``POST /api/trajectory-planning`` — jerk-limited route planning
