@@ -125,7 +125,10 @@ def test_cam_sharded_batched_scan_matches_single_device():
             Ps, K, dist, M, Fs, rig, cfg)
         rows = np.asarray(rows)
         assert rows.shape == ref_rows.shape, d
-        np.testing.assert_allclose(rows, ref_rows, atol=1e-5)
+        # bit-exact on the virtual mesh: per-shard detection is the same
+        # kernel on the same data, the all-gathered centroids concatenate
+        # in camera order, and the replicated tail is the identical HLO
+        np.testing.assert_array_equal(rows, ref_rows)
         # decode a row to prove the serving contract holds
         out = unpack_outputs(rows[-1], rig.num_cameras, cfg.max_blobs,
                              rig.num_objects)
