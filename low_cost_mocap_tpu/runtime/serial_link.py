@@ -132,6 +132,7 @@ class PyserialLink:
         self._state = "ok"
         self._errors = 0
         self._sent = 0
+        self._inflight = False
         self._last_ok = time.monotonic()
         self._stop = False
         self._thread = threading.Thread(target=self._writer, daemon=True)
@@ -162,11 +163,12 @@ class PyserialLink:
             }
 
     def flush(self, timeout: float = 1.0) -> bool:
-        """Wait until both queues drain (tests / orderly shutdown)."""
+        """Wait until both queues drain AND no frame is mid-write
+        (tests / orderly shutdown)."""
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             with self._cv:
-                if not self._cmd_q and not self._pose:
+                if not self._cmd_q and not self._pose and not self._inflight:
                     return True
             time.sleep(0.002)
         return False
@@ -202,6 +204,7 @@ class PyserialLink:
                     frame = self._cmd_q.pop(0)
                 else:
                     frame = self._pose.pop(next(iter(self._pose)))
+                self._inflight = True
             try:
                 self._ser.write(frame)
                 if self._pacing_s:
@@ -211,10 +214,12 @@ class PyserialLink:
                     self._errors = 0
                     self._sent += 1
                     self._last_ok = time.monotonic()
+                    self._inflight = False
                 self._set_state("ok")
             except Exception:
                 with self._cv:
                     self._errors += 1
+                    self._inflight = False
                     if is_cmd:        # commands must survive a hiccup
                         self._cmd_q.insert(0, frame)
                     stalled = (time.monotonic() - self._last_ok
