@@ -15,16 +15,18 @@ device step starts at track_from_blobs with a ~100-byte centroid upload
 that rides the dispatch RPC (no separate device_put; jax's async dispatch
 pipelines consecutive frames).
 
-Timing: "value" (per-frame mode) is the best of TWO best-of-5x200-frame
-passes, one before and one after the batched section — tunnel congestion
-comes in minutes-long bursts, so the two passes sample different
-congestion windows and min-time is the standard estimator under
-one-sided noise.  "batched_value" is best-of-5 windows of 32 dispatches
-of the batched serving mode (dispatch_batch frames per program), which
-is nearly congestion-immune (one RPC per B frames).
+Timing: "value" (per-frame mode) is the max of THREE best-of-5x200-frame
+passes and "batched_value" the max of THREE best-of-5x32-dispatch passes,
+the passes spread across the bench timeline (compile gaps plus a 45 s
+idle gap, skipped under LCM_BENCH_FAST=1) — tunnel congestion comes in
+minutes-long bursts, so time-separated passes sample different windows
+and min-time/max-rate is the standard estimator under one-sided noise.
+"spread"/"batched_spread" report (max-min)/max across the passes, so a
+congestion-free figure is distinguishable from a lucky one.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"batched_value", "dispatch_batch", "batched_vs_baseline"}.
+"spread", "batched_value", "batched_unit", "dispatch_batch",
+"batched_vs_baseline", "batched_spread"}.
 """
 
 from __future__ import annotations

@@ -73,7 +73,15 @@ class Engine:
             # the firmware's 2 s ping failsafe (receiver_esp32.ino:213-215)
             # has cut the motors by then, and dropping the armed mirror
             # stops queueing pose feeds a wedged dongle will never send.
-            link.on_health = self._on_link_health
+            # Chain rather than overwrite a caller-installed callback.
+            prev_cb = link.on_health
+
+            def _chained(health, _prev=prev_cb):
+                self._on_link_health(health)
+                if _prev is not None:
+                    _prev(health)
+
+            link.on_health = _chained
         explicit_no_fast = fast_path is False   # caller asked for dense
         if fast_path is None:
             fast_path = jax.default_backend() != "cpu"
@@ -794,10 +802,15 @@ class Engine:
         if not sps or any(len(sp) != 3 * n for sp in sps):
             raise ValueError(
                 f"setpoints must be non-empty rows of {3 * n} floats")
+        timestep = float(data.get("timestep", 0.05))
+        if not timestep > 0.0:
+            raise ValueError(f"timestep must be positive, got {timestep}")
         drones = [int(d) for d in data.get("droneIndices", range(n))]
+        if any(not 0 <= d < n for d in drones):
+            raise ValueError(f"droneIndices out of range 0..{n - 1}: {drones}")
         self._traj = {
             "setpoints": sps,
-            "timestep": float(data.get("timestep", 0.05)),
+            "timestep": timestep,
             "drones": drones,
             "tol": float(data.get("arrivalTol", 0.15)),
             "timeout": float(data.get("arrivalTimeout", 20.0)),
@@ -834,6 +847,8 @@ class Engine:
                 if np.linalg.norm(fw - target) > tr["tol"]:
                     arrived = False
                     break
+            if self._traj is not tr:   # stopped/replaced mid-tick
+                return
             if arrived:
                 tr["phase"] = "executing"
                 tr["t"] = 0.0
@@ -857,11 +872,13 @@ class Engine:
         # setpoint to float accumulation (dt == timestep must send all)
         target = min(int(tr["t"] / tr["timestep"] + 1e-6), len(sps) - 1)
         while tr["idx"] < target:
+            if self._traj is not tr:   # stopped/replaced mid-tick
+                return
             tr["idx"] += 1
             for d in tr["drones"]:
                 self.link.send(
                     d, {"setpoint": sps[tr["idx"]][3 * d:3 * d + 3]})
-        if tr["idx"] >= len(sps) - 1:
+        if tr["idx"] >= len(sps) - 1 and self._traj is tr:
             self._traj = None
             self.emit("trajectory-status", {"phase": "done"})
 

@@ -174,6 +174,10 @@ class PyserialLink:
         return False
 
     def close(self) -> None:
+        # best-effort drain: an accepted command (e.g. a final disarm) must
+        # not be silently dropped by shutdown; a stalled dongle still
+        # bounds close() at the flush timeout
+        self.flush(timeout=1.0)
         with self._cv:
             self._stop = True
             self._cv.notify()

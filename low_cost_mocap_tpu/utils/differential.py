@@ -41,20 +41,15 @@ _FLIP = np.array([[-1.0, 0, 0], [0, -1.0, 0], [0, 0, 1.0]])
 
 
 def reference_rig(num_cameras: int = 4):
-    """Ring rig with the reference's camera-params.json intrinsics
+    """``syn.ring_rig`` with the reference's camera-params.json intrinsics
     (320 px focal, 160 px centre — ``api/camera-params.json``)."""
+    import dataclasses
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=num_cameras, image_size=320)
     cams = tuple(
         CameraIntrinsics(intrinsic_matrix=REF_K, distortion_coef=(0.0,) * 5)
         for _ in range(num_cameras))
-    Rs, ts = [], []
-    for i in range(num_cameras):
-        ang = 2 * np.pi * i / num_cameras
-        eye = np.array([2.5 * np.cos(ang), 2.5 * np.sin(ang), 1.8])
-        R, t = syn.look_at(eye, np.array([0.0, 0.0, 0.5]))
-        Rs.append(R)
-        ts.append(t)
-    rig = RigConfig(num_cameras=num_cameras, image_size=320, cameras=cams)
-    return np.stack(Rs), np.stack(ts), rig
+    return Rs, ts, dataclasses.replace(rig, cameras=cams)
 
 
 def drone_markers_display(pos, phi, s, delta, rig: RigConfig):
