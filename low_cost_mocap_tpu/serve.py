@@ -19,6 +19,9 @@ def main(argv=None):
                    default="synthetic")
     p.add_argument("--recording", help="path to .npz for --source recorded")
     p.add_argument("--cameras", type=int, default=4)
+    p.add_argument("--image-size", default="320",
+                   help="square size or HxW (e.g. 320x240 runs the "
+                        "reference's rotated sensor shape unpadded)")
     p.add_argument("--drones", type=int, default=1,
                    help="synthetic drones rendered by the synthetic source")
     p.add_argument("--link", choices=["loopback", "serial", "none"],
@@ -81,8 +84,15 @@ def main(argv=None):
             (tuple(tuple(m) for m in markers), int(max_inst))
             for markers, max_inst in _json.loads(args.body_sets))
 
+    if "x" in args.image_size:
+        h, w = args.image_size.lower().split("x")
+        image_size = (int(h), int(w))
+    else:
+        image_size = int(args.image_size)
+
     if args.source == "synthetic":
-        Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras)
+        Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras,
+                                   image_size=image_size)
         if body_kw:
             import dataclasses
 
@@ -96,7 +106,8 @@ def main(argv=None):
                         image_size=source.image_size, **body_kw)
         Rs = ts = None
     else:
-        rig = RigConfig(num_cameras=args.cameras, **body_kw)
+        rig = RigConfig(num_cameras=args.cameras, image_size=image_size,
+                        **body_kw)
         source = sources.PseyepySource(rig)
         Rs = ts = None
 
