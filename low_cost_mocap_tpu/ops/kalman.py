@@ -116,7 +116,6 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     O = state.x.shape[0]
     dtype = state.x.dtype
     dt = jnp.asarray(dt, dtype)
-    F = _transition(dt, dtype)
     Q = jnp.eye(9, dtype=dtype) * process_noise
     R = jnp.eye(6, dtype=dtype) * meas_noise
     b, a = lowpass.butter_coeffs()
@@ -138,9 +137,30 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         prev_pos = jnp.where(need_init, init_pos, prev_pos)
         inited = inited | need_init
 
-        # predict
-        x_pre = F @ x
-        P_pre = F @ P @ F.T + Q
+        # predict — F is the CA-model block matrix (identity + dt blocks),
+        # so every product with F/F.T is three shifted-slice adds instead
+        # of a 9x9 matmul.  Like the H-slicing below: bit-identical to the
+        # matmuls under exact precision; under TPU-default reduced-f32
+        # matmul precision the slice form is the MORE accurate of the two.
+        # Fewer MXU ops per scan iteration in batched serving.
+        hdt2 = 0.5 * dt * dt
+
+        def f_rows(m):
+            # F @ m for m of shape (9, ...): rows 0:3 += dt*rows 3:6 + ...
+            return jnp.concatenate([
+                (m[0:3] + dt * m[3:6]) + hdt2 * m[6:9],
+                m[3:6] + dt * m[6:9],
+                m[6:9],
+            ], axis=0)
+
+        x_pre = f_rows(x)
+        FP = f_rows(P)                                   # F @ P
+        # (F @ P) @ F.T: same combination on columns
+        P_pre = jnp.concatenate([
+            (FP[:, 0:3] + dt * FP[:, 3:6]) + hdt2 * FP[:, 6:9],
+            FP[:, 3:6] + dt * FP[:, 6:9],
+            FP[:, 6:9],
+        ], axis=1) + Q
 
         # associate: nearest candidate to predicted position
         d2 = jnp.sum((cand_pos - x_pre[:3]) ** 2, axis=-1)
