@@ -187,8 +187,11 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         S = P_pre[:6, :6] + R                      # H @ P_pre @ H.T + R
         K = P_pre[:, :6] @ jnp.linalg.inv(S)       # P_pre @ H.T @ inv(S)
         x_post = x_pre + K @ (z - x_pre[:6])       # z - H @ x_pre
-        KH = jnp.concatenate([K, jnp.zeros((9, 3), dtype)], axis=1)
-        P_post = (jnp.eye(9, dtype=dtype) - KH) @ P_pre
+        # (I - K H) @ P_pre with H = [I6 | 0]: KH's last 3 columns are
+        # zero, so the product is P_pre - K @ P_pre[:6, :] — one 9x6 @ 6x9
+        # matmul instead of building KH and a 9x9 @ 9x9 (same exact/
+        # reduced-precision caveat as the predict slices above)
+        P_post = P_pre - K @ P_pre[:6, :]
 
         x_rep = x_pre if report == "pre" else x_post
         # low-pass heading + reported-state velocity
