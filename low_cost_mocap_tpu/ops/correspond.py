@@ -62,13 +62,18 @@ def _epipolar_distances(pts, valid, Ps, gate_px, Fs=None):
     C, K, _ = pts.shape
     F = _pairwise_fundamentals(Ps) if Fs is None else Fs  # (C, C, 3, 3)
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)  # (C,K,3)
-    # lines[a, k, b, :] = F[a, b] @ ph[a, k]
-    lines = jnp.einsum("abij,akj->akbi", F, ph)          # (C, K, C, 3)
+    # lines[a, k, b, :] = F[a, b] @ ph[a, k] — full-f32: these distances
+    # seed/gate the correspondence argmins, and bf16-truncated pixels
+    # flip borderline groupings (few-mm spikes on occasional frames,
+    # measured with the on-chip vs-reference differential)
+    lines = jnp.einsum("abij,akj->akbi", F, ph,
+                       precision=jax.lax.Precision.HIGH)  # (C, K, C, 3)
     n = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)
     lines = lines / jnp.maximum(n[..., None], 1e-12)
     # distance to every point j of camera b
     d = jnp.abs(
-        jnp.einsum("akbi,bji->akbj", lines[..., :2], pts) + lines[..., 2:3]
+        jnp.einsum("akbi,bji->akbj", lines[..., :2], pts,
+                   precision=jax.lax.Precision.HIGH) + lines[..., 2:3]
     )                                                    # (C, K, C, K)
     # Mask the same-camera diagonal explicitly: F[a, a] is built from
     # duplicated projection rows, so d[a, k, a, j] is ~0 up to float32
@@ -254,10 +259,12 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
         obs_cand = pts[b_idx, cand_idx]                     # (C, K, C, R, 2)
 
         # hypothesis selections via one-hot contraction
-        obs = jnp.einsum("habr,akbrx->khbx", onehot, obs_cand)
+        obs = jnp.einsum("habr,akbrx->khbx", onehot, obs_cand,
+                         precision=jax.lax.Precision.HIGH)
         cv_miss = jnp.einsum("habr,akbr->khb", onehot,
                              (~cand_valid).astype(onehot.dtype))
-        self_pts = jnp.einsum("ah,akx->khx", rc_onehot, pts)  # (K, H, 2)
+        self_pts = jnp.einsum("ah,akx->khx", rc_onehot, pts,
+                              precision=jax.lax.Precision.HIGHEST)  # (K, H, 2)
         sel = jnp.where(self_tab[None, :, :, None],
                         self_pts[:, :, None, :], obs)      # (K, H, C, 2)
         msk = jnp.broadcast_to((self_tab | use_tab)[None], (K, H, C))

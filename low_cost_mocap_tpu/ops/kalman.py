@@ -184,14 +184,21 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         # iteration in batched serving; batched-vs-per-frame parity is
         # unaffected (both modes share this code).
         z = jnp.concatenate([new_pos, new_vel])
+        # full-f32 accumulation on the gain/correct matmuls: these carry
+        # metric state, and the TPU-default bf16 input truncation measurably
+        # inflates the startup transient (on-chip differential); the
+        # matrices are 9x6 — precision is free at this size
+        hi = jax.lax.Precision.HIGHEST
         S = P_pre[:6, :6] + R                      # H @ P_pre @ H.T + R
-        K = P_pre[:, :6] @ jnp.linalg.inv(S)       # P_pre @ H.T @ inv(S)
-        x_post = x_pre + K @ (z - x_pre[:6])       # z - H @ x_pre
+        K = jnp.matmul(P_pre[:, :6], jnp.linalg.inv(S),
+                       precision=hi)               # P_pre @ H.T @ inv(S)
+        x_post = x_pre + jnp.matmul(K, z - x_pre[:6],
+                                    precision=hi)  # z - H @ x_pre
         # (I - K H) @ P_pre with H = [I6 | 0]: KH's last 3 columns are
         # zero, so the product is P_pre - K @ P_pre[:6, :] — one 9x6 @ 6x9
         # matmul instead of building KH and a 9x9 @ 9x9 (same exact/
         # reduced-precision caveat as the predict slices above)
-        P_post = P_pre - K @ P_pre[:6, :]
+        P_post = P_pre - jnp.matmul(K, P_pre[:6, :], precision=hi)
 
         x_rep = x_pre if report == "pre" else x_post
         # low-pass heading + reported-state velocity

@@ -23,6 +23,7 @@ batch of points, so the whole frame triangulates as one fused XLA op.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,7 +44,14 @@ def _dlt_system(points_px, Ps, mask):
     r2 = P0 - x * P2
     m = mask[..., None].astype(Ps.dtype)
     A = jnp.concatenate([r1 * m, r2 * m], axis=-2)  # (..., 2C, 4)
-    return jnp.einsum("...ki,...kj->...ij", A, A)
+    # full f32 accumulation: A^T A feeds a smallest-eigenvector solve whose
+    # conditioning is the whole DLT — on TPU the DEFAULT matmul precision
+    # (bf16 inputs) costs ~1 mm of on-chip marker accuracy (measured with
+    # the vs-reference differential on-chip); forcing f32 on this one tiny
+    # (4x4-output) contraction recovers CPU-identical accuracy at ~2% of
+    # the batched step's device time
+    return jnp.einsum("...ki,...kj->...ij", A, A,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _adjugate4(A):
@@ -84,7 +92,8 @@ def smallest_eigvec_sym4(B, iters: int = 3):
     adj = _adjugate4(A)
     v = jnp.ones(B.shape[:-2] + (4,), B.dtype)
     for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", adj, v)
+        v = jnp.einsum("...ij,...j->...i", adj, v,
+                       precision=jax.lax.Precision.HIGHEST)
         n = jnp.linalg.norm(v, axis=-1, keepdims=True)
         v = v / jnp.maximum(n, 1e-30)
     return v
@@ -116,7 +125,8 @@ def reprojection_errors(points_px, X, Ps, mask):
     +inf so downstream argmins never select them.
     """
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)  # (N, 4)
-    proj = jnp.einsum("cij,nj->nci", Ps, Xh)                       # (N, C, 3)
+    proj = jnp.einsum("cij,nj->nci", Ps, Xh,
+                      precision=jax.lax.Precision.HIGHEST)         # (N, C, 3)
     z = proj[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     uv = proj[..., :2] / z_safe[..., None]
@@ -132,7 +142,8 @@ def reprojection_errors(points_px, X, Ps, mask):
 def reproject(X, Ps):
     """Project (N, 3) world points through (C, 3, 4) -> (N, C, 2) pixels."""
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
-    proj = jnp.einsum("cij,nj->nci", Ps, Xh)
+    proj = jnp.einsum("cij,nj->nci", Ps, Xh,
+                      precision=jax.lax.Precision.HIGHEST)
     z = proj[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     return proj[..., :2] / z_safe[..., None]

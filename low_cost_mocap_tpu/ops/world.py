@@ -15,6 +15,7 @@ Rebuilds the reference's world-frame handling:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 FLIP = jnp.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]])
@@ -27,10 +28,18 @@ def to_world(points, to_world_matrix):
     to_world_matrix: (4, 4).
     Exactly ``computer_code/api/helpers.py:97-103``: flip, homogenise,
     multiply, dehomogenise, swap y/z.
+
+    Precision note: this sits on the METRIC output path — the flip is a
+    sign change done elementwise (no matmul, exact), and the 4x4 world
+    multiply forces full-f32 accumulation.  Under the TPU's DEFAULT
+    matmul precision the bf16 input truncation here cost ~1 mm of
+    on-chip accuracy (~0.5 m positions x 2^-9), measured with the
+    on-chip vs-reference differential.
     """
-    p = points @ FLIP.T.astype(points.dtype)
+    p = points * jnp.asarray([-1.0, -1.0, 1.0], points.dtype)  # FLIP, exact
     ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-    w = ph @ to_world_matrix.T.astype(points.dtype)
+    w = jnp.einsum("...j,ij->...i", ph, to_world_matrix.astype(points.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     w = w[..., :3] / w[..., 3:4]
     return w[..., [0, 2, 1]]  # swap y and z (helpers.py:102)
 
