@@ -1,0 +1,49 @@
+"""On-chip accuracy gate: the vs-reference differential on the real TPU.
+
+The CPU test suite cannot see TPU matmul-precision effects; this script
+runs ``utils/differential.run_differential`` with the framework side on
+the actual chip and asserts the BASELINE bounds hold there.  Round 4
+caught a ~1.2 mm on-chip accuracy loss (TPU-default bf16 matmul inputs
+truncating positions/pixels) exactly this way — run it after ANY change
+to the geometry ops (einsums/matmuls on metric data).
+
+Exit code 0 = bounds hold on-chip.  ~1-2 min warm.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+
+    from low_cost_mocap_tpu.utils import differential, reference_impl
+
+    if not reference_impl.reference_available():
+        print("reference checkout not present; nothing to compare against")
+        return 0
+
+    m = differential.run_differential(T=240, noise_px=0.3, seed=7)
+    print(f"backend: {jax.default_backend()}")
+    ok = True
+    for idx in (0, 1):
+        r = m[idx]
+        bound = r["ate_ref_vs_truth_mm"] * 1.10
+        good = (r["ate_ref_vs_repo_mm"] <= bound
+                and r["ate_repo_vs_truth_mm"] <= r["ate_ref_vs_truth_mm"])
+        ok &= good
+        print(f"drone {idx}: ref-vs-THIS {r['ate_ref_vs_repo_mm']:6.3f} mm "
+              f"(bound {bound:5.3f})  THIS-vs-truth "
+              f"{r['ate_repo_vs_truth_mm']:6.3f} mm "
+              f"(ref-vs-truth {r['ate_ref_vs_truth_mm']:6.3f})  "
+              f"{'OK' if good else 'FAIL'}")
+    print("on-chip differential:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
