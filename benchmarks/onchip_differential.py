@@ -7,7 +7,8 @@ caught a ~1.2 mm on-chip accuracy loss (TPU-default bf16 matmul inputs
 truncating positions/pixels) exactly this way — run it after ANY change
 to the geometry ops (einsums/matmuls on metric data).
 
-Exit code 0 = bounds hold on-chip.  ~1-2 min warm.
+Exit code 0 = bounds hold on-chip; 1 = bounds FAIL; 2 = reference
+checkout missing (no-op, NOT a pass).  ~1-2 min warm.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> int:
 
     if not reference_impl.reference_available():
         print("reference checkout not present; nothing to compare against")
-        return 0
+        return 2   # distinct from PASS so callers can't mistake a no-op
 
     m = differential.run_differential(T=240, noise_px=0.3, seed=7)
     print(f"backend: {jax.default_backend()}")

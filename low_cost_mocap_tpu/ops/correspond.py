@@ -424,7 +424,12 @@ def _match_assoc(pts, valid, Ps, d, gated, root_mask, gate_px,
         hit = nd2 < gate_px * gate_px
         # gather-free blob lookup: one-hot over the K blob slots
         oh = (nearest[..., None] == jnp.arange(K)).astype(pts.dtype)
-        obs = jnp.einsum("nck,ckx->ncx", oh, pts)            # (N, C, 2)
+        # HIGH precision: one-hot selection of PIXEL observations — the
+        # 0/1 selectors are exact in bf16 but the pts operand would be
+        # truncated to ~1 px at default precision (same defect class as
+        # the exact-mode selection einsums above)
+        obs = jnp.einsum("nck,ckx->ncx", oh, pts,
+                         precision=jax.lax.Precision.HIGH)   # (N, C, 2)
         sel = jnp.where(own_row[..., None], own_pts, obs)
         msk = hit | own_row
         X2, _ = tri.triangulate_points(sel, Ps, msk)

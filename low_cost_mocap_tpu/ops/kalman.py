@@ -290,12 +290,12 @@ def rts_smooth(xs, Ps, dts, *, process_noise: float = 1e-2):
         x_next_s, P_next_s = carry           # smoothed k+1, (O, 9)/(O, 9, 9)
         x_k, P_k, dt_next = inp              # filtered k, dt of step k->k+1
         F = _transition(dt_next, dtype)
-        x_pred = jnp.einsum("ij,oj->oi", F, x_k)
-        P_pred = jnp.einsum("ij,ojk,lk->oil", F, P_k, F) + Q
+        x_pred = jnp.einsum("ij,oj->oi", F, x_k, precision=jax.lax.Precision.HIGHEST)
+        P_pred = jnp.einsum("ij,ojk,lk->oil", F, P_k, F, precision=jax.lax.Precision.HIGHEST) + Q
         C = jnp.einsum("oij,kj,okl->oil", P_k, F,
-                       jnp.linalg.inv(P_pred))
-        x_s = x_k + jnp.einsum("oij,oj->oi", C, x_next_s - x_pred)
-        P_s = P_k + jnp.einsum("oij,ojk,olk->oil", C, P_next_s - P_pred, C)
+                       jnp.linalg.inv(P_pred), precision=jax.lax.Precision.HIGHEST)
+        x_s = x_k + jnp.einsum("oij,oj->oi", C, x_next_s - x_pred, precision=jax.lax.Precision.HIGHEST)
+        P_s = P_k + jnp.einsum("oij,ojk,olk->oil", C, P_next_s - P_pred, C, precision=jax.lax.Precision.HIGHEST)
         return (x_s, P_s), (x_s, P_s)
 
     (_, _), (xs_s, Ps_s) = jax.lax.scan(
@@ -327,13 +327,13 @@ def rts_smooth_assoc(xs, Ps, dts, *, process_noise: float = 1e-2):
     dtype = xs.dtype
     Q = jnp.eye(9, dtype=dtype) * process_noise
     F = jax.vmap(lambda dt: _transition(dt, dtype))(dts[1:])  # (T-1, 9, 9)
-    x_pred = jnp.einsum("tij,toj->toi", F, xs[:-1])
-    P_pred = jnp.einsum("tij,tojk,tlk->toil", F, Ps[:-1], F) + Q
+    x_pred = jnp.einsum("tij,toj->toi", F, xs[:-1], precision=jax.lax.Precision.HIGHEST)
+    P_pred = jnp.einsum("tij,tojk,tlk->toil", F, Ps[:-1], F, precision=jax.lax.Precision.HIGHEST) + Q
     C = jnp.einsum("toij,tkj,tokl->toil", Ps[:-1], F,
-                   jnp.linalg.inv(P_pred))
+                   jnp.linalg.inv(P_pred), precision=jax.lax.Precision.HIGHEST)
     E = C                                                    # (T-1, O, 9, 9)
-    g = xs[:-1] - jnp.einsum("toij,toj->toi", C, x_pred)
-    L = Ps[:-1] - jnp.einsum("toij,tojk,tolk->toil", C, P_pred, C)
+    g = xs[:-1] - jnp.einsum("toij,toj->toi", C, x_pred, precision=jax.lax.Precision.HIGHEST)
+    L = Ps[:-1] - jnp.einsum("toij,tojk,tolk->toil", C, P_pred, C, precision=jax.lax.Precision.HIGHEST)
 
     def combine(a, b):
         # jax flips the sequence for reverse=True, so the LEFT operand is
@@ -341,13 +341,13 @@ def rts_smooth_assoc(xs, Ps, dts, *, process_noise: float = 1e-2):
         # earlier element (b) outermost: (b o a)(x) = b(a(x))
         Ea, ga, La = a
         Eb, gb, Lb = b
-        return (jnp.einsum("toij,tojk->toik", Eb, Ea),
-                jnp.einsum("toij,toj->toi", Eb, ga) + gb,
-                jnp.einsum("toij,tojk,tolk->toil", Eb, La, Eb) + Lb)
+        return (jnp.einsum("toij,tojk->toik", Eb, Ea, precision=jax.lax.Precision.HIGHEST),
+                jnp.einsum("toij,toj->toi", Eb, ga, precision=jax.lax.Precision.HIGHEST) + gb,
+                jnp.einsum("toij,tojk,tolk->toil", Eb, La, Eb, precision=jax.lax.Precision.HIGHEST) + Lb)
 
     Es, gs, Ls = jax.lax.associative_scan(combine, (E, g, L), reverse=True)
-    xs_s = jnp.einsum("toij,oj->toi", Es, xs[-1]) + gs
-    Ps_s = jnp.einsum("toij,ojk,tolk->toil", Es, Ps[-1], Es) + Ls
+    xs_s = jnp.einsum("toij,oj->toi", Es, xs[-1], precision=jax.lax.Precision.HIGHEST) + gs
+    Ps_s = jnp.einsum("toij,ojk,tolk->toil", Es, Ps[-1], Es, precision=jax.lax.Precision.HIGHEST) + Ls
     xs_s = jnp.concatenate([xs_s, xs[-1:]], axis=0)
     Ps_s = jnp.concatenate([Ps_s, Ps[-1:]], axis=0)
     return xs_s, Ps_s

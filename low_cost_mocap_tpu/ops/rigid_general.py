@@ -133,9 +133,9 @@ def _largest_eigvec_sym4(K, newton_iters: int = 30):
     """
     from low_cost_mocap_tpu.ops.triangulate import _adjugate4
 
-    K2 = jnp.einsum("...ij,...jk->...ik", K, K)
+    K2 = jnp.einsum("...ij,...jk->...ik", K, K, precision=jax.lax.Precision.HIGHEST)
     p2 = jnp.trace(K2, axis1=-2, axis2=-1)
-    p3 = jnp.einsum("...ij,...ji->...", K2, K)
+    p3 = jnp.einsum("...ij,...ji->...", K2, K, precision=jax.lax.Precision.HIGHEST)
     p4 = jnp.sum(K2 * jnp.swapaxes(K2, -1, -2), axis=(-2, -1))
     # Newton's identities with e1 = trace = 0:
     c2 = -p2 / 2.0                       # e2
@@ -177,11 +177,11 @@ def weighted_absolute_orientation(P, Q, w):
     """
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
     wn = w / wsum
-    pc = jnp.einsum("...m,...mi->...i", wn, P)
-    qc = jnp.einsum("...m,...mi->...i", wn, Q)
+    pc = jnp.einsum("...m,...mi->...i", wn, P, precision=jax.lax.Precision.HIGHEST)
+    qc = jnp.einsum("...m,...mi->...i", wn, Q, precision=jax.lax.Precision.HIGHEST)
     Pc = P - pc[..., None, :]
     Qc = Q - qc[..., None, :]
-    S = jnp.einsum("...m,...mi,...mj->...ij", wn, Pc, Qc)  # (..., 3, 3)
+    S = jnp.einsum("...m,...mi,...mj->...ij", wn, Pc, Qc, precision=jax.lax.Precision.HIGHEST)  # (..., 3, 3)
     s = lambda i, j: S[..., i, j]
     K = jnp.stack([
         jnp.stack([s(0, 0) + s(1, 1) + s(2, 2), s(1, 2) - s(2, 1),
@@ -195,7 +195,7 @@ def weighted_absolute_orientation(P, Q, w):
     ], axis=-2)
     q = _largest_eigvec_sym4(K)
     R = _quat_to_rot(q)
-    t = qc - jnp.einsum("...ij,...j->...i", R, pc)
+    t = qc - jnp.einsum("...ij,...j->...i", R, pc, precision=jax.lax.Precision.HIGHEST)
     return R, t
 
 
@@ -290,7 +290,7 @@ def fit_body(points, valid, template: BodyTemplate, *,
 
     # 4. associate every template marker, trim, re-fit, iterate
     def assoc_and_fit(R, t):
-        Y = jnp.einsum("bij,mj->bmi", R, tmpl) + t[:, None, :]  # (B, M, 3)
+        Y = jnp.einsum("bij,mj->bmi", R, tmpl, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]  # (B, M, 3)
         d2 = jnp.sum((Y[:, :, None, :] - points[None, None, :, :]) ** 2,
                      axis=-1)                                   # (B, M, N)
         d2 = jnp.where(valid[None, None, :], d2, jnp.inf)
@@ -330,7 +330,7 @@ def fit_body(points, valid, template: BodyTemplate, *,
         R, t, matched, nearest, Q = assoc_and_fit(R, t)
 
     # 5. score: RMS over matched markers + penalty per unmatched marker
-    Y = jnp.einsum("bij,mj->bmi", R, tmpl) + t[:, None, :]
+    Y = jnp.einsum("bij,mj->bmi", R, tmpl, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     res2 = jnp.sum((Y - Q) ** 2, axis=-1)            # (B, M)
     w = matched.astype(res2.dtype)
     n_match = jnp.sum(w, axis=-1)

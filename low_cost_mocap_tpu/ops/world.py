@@ -18,9 +18,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-FLIP = jnp.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]])
-
-
 def to_world(points, to_world_matrix):
     """Apply the reference's camera-frame -> world-frame conversion.
 

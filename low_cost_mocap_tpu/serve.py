@@ -84,11 +84,12 @@ def main(argv=None):
             (tuple(tuple(m) for m in markers), int(max_inst))
             for markers, max_inst in _json.loads(args.body_sets))
 
-    if "x" in args.image_size:
-        h, w = args.image_size.lower().split("x")
+    size_arg = args.image_size.lower()
+    if "x" in size_arg:
+        h, w = size_arg.split("x")
         image_size = (int(h), int(w))
     else:
-        image_size = int(args.image_size)
+        image_size = int(size_arg)
 
     if args.source == "synthetic":
         Rs, ts, rig = syn.ring_rig(num_cameras=args.cameras,
