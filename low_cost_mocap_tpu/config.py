@@ -222,8 +222,21 @@ class EngineConfig:
     # Deferred async readback: results are harvested N frames after
     # dispatch so device->host latency overlaps compute. 0 = synchronous
     # (same-frame outputs; right for low-latency links and tests); raise on
-    # high-latency device links (tunneled TPU: ~20 ms/fetch).
+    # high-latency device links (tunneled TPU: ~20 ms/fetch).  In batched
+    # mode (dispatch_batch > 1) the unit is BATCHES: N batches stay in
+    # flight, decode runs N batches behind dispatch.
     readback_pipeline_depth: int = 0
+
+    # Batched serving only: decode + emit completed batches on a worker
+    # thread instead of inline in the capture loop.  The capture loop then
+    # runs pure ingest -> dispatch (nothing ever blocks on a device
+    # readback), and payload construction / listener fan-out / websocket
+    # writes overlap ingest on another core.  Output ordering is unchanged
+    # (single worker, FIFO); ``process_frame`` returns None (outputs flow
+    # through the event surface); backpressure caps in-flight batches at
+    # max(readback_pipeline_depth, 4).  Off by default: inline emits keep
+    # per-batch results available to the caller, and tests compare them.
+    batch_emit_thread: bool = False
 
     # numerics
     dtype: str = "float32"

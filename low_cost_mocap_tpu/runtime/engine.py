@@ -128,6 +128,10 @@ class Engine:
         # (packed (C,K,3), dt) — or (mesh payload, dt) in mesh mode —
         # awaiting dispatch
         self._batch_buf: list = []
+        # dispatched batches whose async readback is still in flight
+        # (readback_pipeline_depth > 0; see _run_batched)
+        import collections as _collections
+        self._batch_pending: _collections.deque = _collections.deque()
 
         self.is_capturing_points = False
         self.is_triangulating_points = False
@@ -176,6 +180,17 @@ class Engine:
         # server-thread rebuilds (learn-body-template apply) racing a
         # capture-loop process_frame mid-flight
         self._model_lock = threading.Lock()
+        # signals the batch emit worker (batch_emit_thread) — built on the
+        # model lock so enqueue/dequeue and the layout snapshots it
+        # protects stay atomic
+        self._batch_cond = threading.Condition(self._model_lock)
+        self._emit_worker: threading.Thread | None = None
+        self._emit_worker_busy = False
+        if cfg.batch_emit_thread and self._batch > 1:
+            self._emit_worker = threading.Thread(
+                target=self._emit_worker_loop, daemon=True,
+                name="lcm-batch-emit")
+            self._emit_worker.start()
         self.fps = 0.0
         self.frame_count = 0
         self._learning_frames: list | None = None  # learn-body-template
@@ -293,8 +308,22 @@ class Engine:
     def on(self, event: str, cb: Callable[[Any], None]) -> None:
         self._listeners.setdefault(event, []).append(cb)
 
+    def off(self, event: str, cb: Callable[[Any], None]) -> None:
+        """Remove a listener added with ``on`` (unknown cb is a no-op).
+        Lets the server detach its broadcast fan-out while no clients are
+        connected, which in turn gates payload construction off entirely
+        (see ``_emit_frame_outputs``)."""
+        cbs = self._listeners.get(event)
+        if cbs is not None:
+            try:
+                cbs.remove(cb)
+            except ValueError:
+                pass
+
     def emit(self, event: str, data: Any) -> None:
-        for cb in self._listeners.get(event, []):
+        # iterate a snapshot: a server thread may attach/detach listeners
+        # (client connect/disconnect) while the capture loop is emitting
+        for cb in tuple(self._listeners.get(event, ())):
             cb(data)
 
     # ---------------------------------------------------- client handlers
@@ -317,6 +346,7 @@ class Engine:
             self.captured_points = []
             self.is_capturing_points = True
         else:
+            self.flush_batches()   # emit in-flight pipelined batches
             self.is_capturing_points = False
 
     def handle_calculate_camera_pose(self, data):
@@ -388,9 +418,13 @@ class Engine:
                 self._kalman_state = make_init_state(self.rig)
                 self._pending.clear()  # drop pre-reset in-flight readbacks
                 self._batch_buf = []   # pre-reset buffered frames
+                self._batch_pending.clear()
             self.is_capturing_points = True
             self.is_triangulating_points = True
         else:
+            # emit in-flight pipelined batches BEFORE dropping the mode
+            # flags so the output stream ends complete, not truncated
+            self.flush_batches()
             self.is_capturing_points = False
             self.is_triangulating_points = False
 
@@ -538,6 +572,7 @@ class Engine:
                 self._kalman_state = make_init_state(self.rig)
                 self._pending.clear()    # old-layout packed outputs
                 self._batch_buf = []     # old-layout buffered frames
+                self._batch_pending.clear()
             payload["applied"] = True
         self.emit("body-template", payload)
 
@@ -964,6 +999,13 @@ class Engine:
     def start(self) -> None:
         if self._running:
             return
+        if (self.cfg.batch_emit_thread and self._batch > 1
+                and self._emit_worker is None):
+            # re-spawn after a stop() (which drains + retires the worker)
+            self._emit_worker = threading.Thread(
+                target=self._emit_worker_loop, daemon=True,
+                name="lcm-batch-emit")
+            self._emit_worker.start()
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -973,6 +1015,63 @@ class Engine:
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
+        self.flush_batches()
+        worker = self._emit_worker
+        if worker is not None:
+            with self._batch_cond:
+                self._emit_worker = None    # worker exits once drained
+                self._batch_cond.notify_all()
+            worker.join(timeout=5)
+
+    def flush_batches(self) -> None:
+        """Drain dispatched-but-undecoded batches (readback pipelining,
+        ``_run_batched``): decode + emit them in order so the output
+        stream is complete.  Called at ``stop()`` and on capture-stop.
+        Frames still *buffering* (less than a full batch) are not
+        dispatched — batched mode emits whole batches only.  With the
+        emit worker active this waits for the worker to drain instead."""
+        if self._emit_worker is not None:
+            with self._batch_cond:
+                while self._batch_pending or self._emit_worker_busy:
+                    self._batch_cond.wait(timeout=0.1)
+            return
+        while True:
+            with self._model_lock:
+                if not self._batch_pending:
+                    return
+                rows, dl, num_bodies, set_of_slot = \
+                    self._batch_pending.popleft()
+                with self.timer.stage("batch-decode"):
+                    outs = self._decode_batch_rows(rows, num_bodies)
+            with self.timer.stage("batch-emit"):
+                self._emit_batch_outs(outs, set_of_slot, dts=dl)
+
+    def _emit_worker_loop(self) -> None:
+        """batch_emit_thread worker: pop dispatched batches FIFO, block on
+        their readback, decode + emit — entirely off the capture loop."""
+        while True:
+            with self._batch_cond:
+                while not self._batch_pending:
+                    if self._emit_worker is None:   # stop() requested
+                        return
+                    self._batch_cond.wait(timeout=0.2)
+                rows, dl, num_bodies, set_of_slot = \
+                    self._batch_pending.popleft()
+                self._emit_worker_busy = True
+                self._batch_cond.notify_all()       # release backpressure
+            # decode outside the lock: layout was snapshotted at dispatch
+            try:
+                with self.timer.stage("batch-decode"):
+                    outs = self._decode_batch_rows(rows, num_bodies)
+                with self.timer.stage("batch-emit"):
+                    self._emit_batch_outs(outs, set_of_slot, dts=dl)
+            except Exception as e:   # a bad batch must not wedge the drain
+                self.emit("engine-error",
+                          {"error": f"batch emit worker: {e}"})
+            finally:
+                with self._batch_cond:
+                    self._emit_worker_busy = False
+                    self._batch_cond.notify_all()   # flush_batches waiters
 
     def _loop(self) -> None:
         interval = 1.0 / self.cfg.target_fps
@@ -1167,24 +1266,60 @@ class Engine:
             self._batch_buf.append((payload, dt32))
             if len(self._batch_buf) < self._batch:
                 return None
-            pb = np.stack([p for p, _ in self._batch_buf])
-            dl = np.asarray([d for _, d in self._batch_buf], np.float32)
+            with self.timer.stage("batch-stack"):
+                pb = np.stack([p for p, _ in self._batch_buf])
+                dl = np.asarray([d for _, d in self._batch_buf], np.float32)
             self._batch_buf = []
-            self._kalman_state, packed_rows = dispatch(pb, dl)
-            outs, set_of_slot = self._decode_batch_rows(packed_rows)
-        return self._emit_batch_outs(outs, set_of_slot, dts=dl)
+            with self.timer.stage("batch-dispatch"):
+                self._kalman_state, packed_rows = dispatch(pb, dl)
+            # Snapshot the packed-row layout WITH the rows it describes: a
+            # learn-body-template apply can rebuild the step (new
+            # num_bodies) between dispatch and decode.
+            item = (packed_rows, dl, self._num_bodies,
+                    self._body_set_of_slot)
+            if self._emit_worker is not None:
+                # batch_emit_thread: hand the dispatched batch to the
+                # worker — the capture loop never blocks on a readback,
+                # decode/emit/fan-out overlap ingest on another core.
+                packed_rows.copy_to_host_async()
+                self._batch_pending.append(item)
+                self._batch_cond.notify_all()
+                cap = max(self.cfg.readback_pipeline_depth, 4)
+                while len(self._batch_pending) > cap:   # backpressure
+                    self._batch_cond.wait(timeout=1.0)
+                return None
+            # With readback_pipeline_depth > 0, decode is pipelined: the
+            # freshly dispatched batch's readback is issued async and
+            # harvested ``depth`` batches later, so the host decodes batch
+            # N-depth while the device computes batch N.  Blocking here
+            # instead costs a full dispatch+readback round trip per batch
+            # (~70 ms through a congested tunnel — measured 742 fps
+            # blocked vs 11,395 fps chained on the same window).  Costs
+            # depth*B frames of output latency; per-frame mode (the
+            # control loop) is unaffected.
+            depth = self.cfg.readback_pipeline_depth
+            if depth > 0:
+                packed_rows.copy_to_host_async()
+                self._batch_pending.append(item)
+                if len(self._batch_pending) <= depth:
+                    return None
+                item = self._batch_pending.popleft()
+            packed_rows, dl, num_bodies, set_of_slot = item
+            with self.timer.stage("batch-decode"):
+                outs = self._decode_batch_rows(packed_rows, num_bodies)
+        with self.timer.stage("batch-emit"):
+            return self._emit_batch_outs(outs, set_of_slot, dts=dl)
 
-    def _decode_batch_rows(self, packed_rows):
+    def _decode_batch_rows(self, packed_rows, num_bodies):
         """Decode a batched dispatch's (B, L) packed rows into per-frame
-        FrameOutputs (ONE readback).  Caller holds ``_model_lock`` — the
-        slot->template map must be snapshotted with the outputs it
-        describes (a learn-body-template apply can rebuild it mid-emit)."""
-        rows = np.asarray(packed_rows)
-        outs = [unpack_outputs(
-            rows[i], self.rig.num_cameras, self.cfg.max_blobs,
-            self.rig.num_objects, num_bodies=self._num_bodies,
-            with_obs=True) for i in range(rows.shape[0])]
-        return outs, self._body_set_of_slot
+        FrameOutputs (ONE readback, vectorized across the batch).
+        ``num_bodies`` is the layout snapshot taken at dispatch time."""
+        from low_cost_mocap_tpu.models.pipeline import unpack_outputs_batch
+
+        return unpack_outputs_batch(
+            np.asarray(packed_rows), self.rig.num_cameras,
+            self.cfg.max_blobs, self.rig.num_objects,
+            num_bodies=num_bodies, with_obs=True)
 
     def _emit_batch_outs(self, outs, set_of_slot, dts=None):
         """Emit a completed batch's outputs in frame order (outside the
@@ -1232,31 +1367,43 @@ class Engine:
                     self._refine_obs.append(
                         (np.asarray(out.point_obs)[pv],
                          np.asarray(out.point_obs_mask)[pv]))
-            obj_pts = np.asarray(out.object_points)[pv]
-            errs = np.asarray(out.point_errors)[pv]
+            # Payload construction is listener-gated: building the
+            # object-points dicts costs ~80 us/frame of Python on the
+            # serving host — pure waste when nobody subscribed.  State
+            # consumers (learning/refine collections above, the armed-drone
+            # pose feed below) always run at full rate.
+            want_payload = bool(self._listeners.get("object-points"))
             objects = []
             filtered = []
             if self.is_locating_objects:
-                ov = np.asarray(out.objects.valid)
-                for i in np.where(ov)[0]:
-                    objects.append({
-                        "pos": np.asarray(out.objects.pos)[i].tolist(),
-                        "heading": float(np.asarray(out.objects.heading)[i]),
-                        "error": float(np.asarray(out.objects.error)[i]),
-                        "droneIndex": int(np.asarray(out.objects.index)[i]),
-                    })
+                if want_payload:
+                    ov = np.asarray(out.objects.valid)
+                    for i in np.where(ov)[0]:
+                        objects.append({
+                            "pos": np.asarray(out.objects.pos)[i].tolist(),
+                            "heading":
+                                float(np.asarray(out.objects.heading)[i]),
+                            "error":
+                                float(np.asarray(out.objects.error)[i]),
+                            "droneIndex":
+                                int(np.asarray(out.objects.index)[i]),
+                        })
                 tv = np.asarray(out.tracked.valid)
                 for d in np.where(tv)[0]:
+                    armed = self.drone_armed[d]
+                    if not (want_payload or armed):
+                        continue
                     pos = np.asarray(out.tracked.pos)[d]
                     vel = np.asarray(out.tracked.vel)[d]
                     heading = float(np.asarray(out.tracked.heading)[d])
-                    filtered.append({
-                        "pos": pos.tolist(),
-                        "vel": vel.tolist(),
-                        "heading": heading,
-                        "droneIndex": int(d),
-                    })
-                    if self.drone_armed[d]:
+                    if want_payload:
+                        filtered.append({
+                            "pos": pos.tolist(),
+                            "vel": vel.tolist(),
+                            "heading": heading,
+                            "droneIndex": int(d),
+                        })
+                    if armed:
                         # pose+vel feed (computer_code/api/helpers.py:113-122).
                         # Frame conversion at the link boundary: the engine's
                         # world frame is display-y-up [x, up, z] while the
@@ -1272,6 +1419,10 @@ class Engine:
                                     round(float(vel[2]), 4),
                                     round(float(vel[1]), 4)],
                         })
+            if not want_payload:
+                return
+            obj_pts = np.asarray(out.object_points)[pv]
+            errs = np.asarray(out.point_errors)[pv]
             payload = {
                 "object_points": obj_pts.tolist(),
                 "errors": errs.tolist(),

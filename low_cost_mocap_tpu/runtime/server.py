@@ -21,6 +21,7 @@ and the protocol subset needed is small (see ``runtime/wsproto.py``).
 
 from __future__ import annotations
 
+import functools
 import io
 import json
 import socket
@@ -164,21 +165,33 @@ class MocapServer:
         self._thread: threading.Thread | None = None
 
         # engine -> all socket.io clients (the reference's five server
-        # events plus the new observability surface)
-        for ev in ("image-points", "object-points", "camera-pose",
-                   "to-world-coords-matrix", "fps", "metrics",
-                   "engine-error", "body-template", "profile", "recording",
-                   "camera-health", "camera-intrinsics", "intrinsics-views",
-                   "trajectory-status", "link-health"):
-            engine.on(ev, lambda data, ev=ev: self.broadcast(ev, data))
+        # events plus the new observability surface).  The subscriptions
+        # are attached only while at least one client is connected: an
+        # idle server must not make the engine build + JSON-encode every
+        # per-frame payload (the engine gates payload construction on
+        # listeners being present, runtime/engine.py _emit_frame_outputs).
+        self._event_cbs = [
+            (ev, functools.partial(self._on_engine_event, ev))
+            for ev in ("image-points", "object-points", "camera-pose",
+                       "to-world-coords-matrix", "fps", "metrics",
+                       "engine-error", "body-template", "profile",
+                       "recording", "camera-health", "camera-intrinsics",
+                       "intrinsics-views", "trajectory-status",
+                       "link-health")]
+        self._subscribed = False
 
     # -------------------------------------------------------------- wiring
 
+    def _on_engine_event(self, event: str, data) -> None:
+        self.broadcast(event, data)
+
     def broadcast(self, event: str, data) -> None:
+        with self._clients_lock:
+            if not self._clients:
+                return
+            clients = list(self._clients)
         packet = wsproto.sio_event(event, data)
         dead = []
-        with self._clients_lock:
-            clients = list(self._clients)
         for c in clients:
             if not c.send_text(packet):
                 dead.append(c)
@@ -186,14 +199,32 @@ class MocapServer:
             with self._clients_lock:
                 for c in dead:
                     self._clients.discard(c)
+            self._sync_subscription()
+
+    def _sync_subscription(self) -> None:
+        """Attach/detach the engine->broadcast listeners to match whether
+        any client is connected.  Caller must NOT hold _clients_lock."""
+        with self._clients_lock:
+            want = bool(self._clients)
+            if want == self._subscribed:
+                return
+            self._subscribed = want
+        if want:
+            for ev, cb in self._event_cbs:
+                self.engine.on(ev, cb)
+        else:
+            for ev, cb in self._event_cbs:
+                self.engine.off(ev, cb)
 
     def _add_client(self, c: _Client) -> None:
         with self._clients_lock:
             self._clients.add(c)
+        self._sync_subscription()
 
     def _remove_client(self, c: _Client) -> None:
         with self._clients_lock:
             self._clients.discard(c)
+        self._sync_subscription()
 
     # -------------------------------------------------------------- server
 
@@ -299,6 +330,8 @@ class MocapServer:
                 except socket.timeout:
                     client.send_text("2")  # engine.io ping keeps idle alive
                     continue
+                except OSError:
+                    break              # peer reset/abort: normal teardown
                 if not data:
                     break
                 for opcode, payload in parser.feed(data):

@@ -187,7 +187,9 @@ def test_dispatch_batch_bit_identical_to_per_frame():
     frames_seq = [np.array(src.read()) for _ in range(2 * B)]
 
     events = []
-    for cfg in (EngineConfig(), EngineConfig(dispatch_batch=B)):
+    for cfg in (EngineConfig(), EngineConfig(dispatch_batch=B),
+                EngineConfig(dispatch_batch=B, readback_pipeline_depth=1),
+                EngineConfig(dispatch_batch=B, batch_emit_thread=True)):
         e = Engine(rig, cfg, SyntheticSource(rig, Rs, ts, num_drones=1),
                    CollectingLink(), fast_path=True, host_detect=True)
         if cfg.dispatch_batch > 1:
@@ -199,17 +201,28 @@ def test_dispatch_batch_bit_identical_to_per_frame():
         got = []
         e.on("object-points", got.append)
         rets = [e.process_frame(f, 1 / 60) for f in frames_seq]
+        if cfg.batch_emit_thread:
+            # worker decodes/emits asynchronously; flush waits for drain
+            e.flush_batches()
+            e.stop()        # retires the worker thread
+        elif cfg.dispatch_batch > 1 and cfg.readback_pipeline_depth > 0:
+            # pipelined decode lags one batch; flush drains + emits it
+            assert len(got) == B
+            e.flush_batches()
         events.append(got)
-        if cfg.dispatch_batch > 1:
+        if (cfg.dispatch_batch > 1 and cfg.readback_pipeline_depth == 0
+                and not cfg.batch_emit_thread):
             # outputs appear only when a batch completes
             assert [r is None for r in rets] == \
                 [(i + 1) % B != 0 for i in range(2 * B)]
-    assert len(events[0]) == len(events[1]) == 2 * B
-    for a, b in zip(events[0], events[1]):
-        np.testing.assert_array_equal(
-            np.asarray(a["object_points"]), np.asarray(b["object_points"]))
-        assert a["filtered_objects"] == b["filtered_objects"]
-        assert a["objects"] == b["objects"]
+    assert all(len(ev) == 2 * B for ev in events)
+    for ref_ev in events[1:]:
+        for a, b in zip(events[0], ref_ev):
+            np.testing.assert_array_equal(
+                np.asarray(a["object_points"]),
+                np.asarray(b["object_points"]))
+            assert a["filtered_objects"] == b["filtered_objects"]
+            assert a["objects"] == b["objects"]
 
 
 def test_packed_ingest_matches_triple_form(lib):

@@ -135,10 +135,26 @@ def test_stop_cancels_run():
 
 def test_server_forwards_trajectory_and_link_health_events():
     """Engine events reach socket clients only if the server forwards
-    them — regression guard for the broadcast list."""
+    them — regression guard for the broadcast list.  The forwarding
+    listeners attach while at least one client is connected (an idle
+    server must not force per-frame payload construction) and detach at
+    zero clients."""
     from low_cost_mocap_tpu.runtime.server import MocapServer
 
     eng, source, link, d, fw = _tracking_engine()
-    MocapServer(eng, port=0)
+    srv = MocapServer(eng, port=0)
+    wired = {ev for ev, _ in srv._event_cbs}
     for ev in ("trajectory-status", "link-health"):
-        assert eng._listeners.get(ev), f"server does not forward {ev}"
+        assert ev in wired, f"server does not forward {ev}"
+    assert not eng._listeners.get("trajectory-status")  # idle: detached
+
+    class _FakeClient:
+        def send_text(self, text):
+            return True
+
+    c = _FakeClient()
+    srv._add_client(c)
+    for ev in ("trajectory-status", "link-health"):
+        assert eng._listeners.get(ev), f"not attached with a client: {ev}"
+    srv._remove_client(c)
+    assert not eng._listeners.get("trajectory-status")
