@@ -165,6 +165,34 @@ def main(T: int = 600):
                   f"(steady {r['ate_ref_vs_repo_steady_mm']:5.3f})   "
                   f"ref-vs-truth {r['ate_ref_vs_truth_mm']:6.3f} mm   "
                   f"THIS-vs-truth {r['ate_repo_vs_truth_mm']:6.3f} mm")
+
+        # hard regimes (occlusion / distractors / crowding): same scenes
+        # as tests/test_reference_differential.py, vs-reference rows
+        scenes = [
+            ("partial occlusion (cam 2 loses drone A, 40 frames)",
+             dict(T=140, occlusions=((60, 100, 2, 0, 3),))),
+            ("full dropout + reacquisition (drone A, 30 frames)",
+             dict(T=200, occlusions=((80, 110, -1, 0, 3),))),
+            ("2 distractor blobs per camera",
+             dict(T=140, n_distractors=2)),
+            ("crowded: 4 extra markers, > candidate budget",
+             dict(T=140, n_extra_markers=4, max_blobs=16)),
+        ]
+        for name, kw in scenes:
+            m = differential.run_differential(**kw)
+            print(f"  hard regime: {name}")
+            for idx in (0, 1):
+                r = m[idx]
+                cov = (f"{r['frames_repo']}/{r['frames_ref']}"
+                       f"/{m['T']} frames (THIS/ref/T)")
+                print(f"    drone {idx}: {cov}  steady ref-vs-THIS "
+                      f"{r['ate_ref_vs_repo_steady_mm']:5.2f} mm   "
+                      f"ref-vs-truth {r['ate_ref_vs_truth_mm']:6.2f}   "
+                      f"THIS-vs-truth {r['ate_repo_vs_truth_mm']:6.2f}"
+                      + (f"   postgap ref {r['postgap_ref_vs_truth_mm']:.2f}"
+                         f" / THIS {r['postgap_repo_vs_truth_mm']:.2f}"
+                         if r["postgap_ref_vs_truth_mm"] == r[
+                             "postgap_ref_vs_truth_mm"] else ""))
     else:
         print("differential vs reference: reference checkout not present")
 

@@ -200,7 +200,27 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         # reduced-precision caveat as the predict slices above)
         P_post = P_pre - jnp.matmul(K, P_pre[:6, :], precision=hi)
 
+        # long-gap reacquisition: after ``gap_reset_s`` without a detection
+        # the frozen prior is meaningless, so re-seed the filter from the
+        # measurement (position = z, vel/acc = 0, P = I — the lazy-init
+        # state).  Without this the stale steady-state covariance keeps the
+        # gain small and the bank drags toward the reappeared object over
+        # dozens of frames (the reference reconverges FASTER there by
+        # accident: its velocity measurement (new-prev)/dt over a one-frame
+        # dt spikes by the gap length, KalmanFilter.py:79, kicking its
+        # state toward the measurement — measured 34 mm vs its 10.6 mm
+        # post-gap RMS on the dropout differential before this re-seed).
+        reseed_all = reseed & inited
+        x_post = jnp.where(reseed_all,
+                           jnp.zeros_like(x).at[:3].set(new_pos), x_post)
+        P_post = jnp.where(reseed_all, jnp.eye(9, dtype=dtype), P_post)
+
         x_rep = x_pre if report == "pre" else x_post
+        # on the reacquisition frame itself the prediction is the stale
+        # pre-gap pose — report the re-seeded state (documented divergence:
+        # the reference reports its statePre here too, which is why its
+        # first post-gap report is off by the whole gap distance)
+        x_rep = jnp.where(reseed_all, x_post, x_rep)
         # low-pass heading + reported-state velocity
         lh2, heading_f = lowpass.lpf_step(lh, cand_heading[ci], b, a)
         lv2, vel_f = lowpass.lpf_step(lv, x_rep[3:6], b, a)

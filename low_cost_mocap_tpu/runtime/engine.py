@@ -153,6 +153,8 @@ class Engine:
         self._Ps = jnp.tile(jnp.eye(3, 4), (rig.num_cameras, 1, 1))
         from low_cost_mocap_tpu.ops.correspond import _pairwise_fundamentals
         self._F = _pairwise_fundamentals(self._Ps)
+        self._F_np = None        # host cache for the epiline overlay
+        self._F_np_src = None
         self._M = jnp.asarray(self.to_world_matrix)
         from low_cost_mocap_tpu.models.pipeline import make_init_state
         self._kalman_state = make_init_state(rig)
@@ -1492,6 +1494,25 @@ class Engine:
                     # coordinate label (reference: helpers.py:153-157)
                     _draw_text(strip, x + 6, y - 6,
                                f"{bx:.0f},{by:.0f}")
+            # epipolar-line overlay during triangulation (reference:
+            # helpers.py:363-368 paints each root's epiline into every
+            # later camera's frame via drawlines, helpers.py:497-504).
+            # Host-side only, off the jitted path: lines at a dim grey so
+            # blob annotations (255) stay distinct on the mono stream.
+            if self.is_triangulating_points and self._F is not None:
+                if self._F_np_src is not self._F:
+                    # cache the host copy: one device readback per pose
+                    # set, not one per displayed frame
+                    self._F_np = np.asarray(self._F)
+                    self._F_np_src = self._F
+                C = frames.shape[0]
+                for b in range(1, C):
+                    for a in range(b):
+                        for k in np.where(bvalid[a])[0]:
+                            ph = np.array([blobs[a, k, 0], blobs[a, k, 1],
+                                           1.0])
+                            _draw_epiline(strip, self._F_np[a, b] @ ph,
+                                          b * W, W, H)
         return strip
 
 
@@ -1522,6 +1543,31 @@ def _draw_text(img: np.ndarray, x: int, y: int, text: str,
                     if 0 <= yy < H and 0 <= xx < W:
                         img[yy, xx] = value
         x += 4
+
+
+def _draw_epiline(strip: np.ndarray, line, x_off: int, W: int, H: int,
+                  value: int = 150) -> None:
+    """Draw epipolar line ``ax + by + c = 0`` into the tile starting at
+    column ``x_off`` of the hstacked strip (the reference's ``drawlines``,
+    ``computer_code/api/helpers.py:497-504``, draws from (0, -c/b) to
+    (W, -(c+aW)/b) with cv.line).  Dim grey, max-blended so blob
+    annotations stay visible where a line crosses them."""
+    a, b, c = (float(v) for v in line)
+    if abs(a) < 1e-12 and abs(b) < 1e-12:
+        return
+    n = 2 * max(W, H)
+    if abs(b) >= abs(a):
+        xs = np.linspace(0.0, W - 1.0, n)
+        ys = -(c + a * xs) / b
+    else:
+        ys = np.linspace(0.0, H - 1.0, n)
+        xs = -(c + b * ys) / a
+    m = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    if not m.any():
+        return
+    xi = xs[m].astype(np.intp) + x_off
+    yi = ys[m].astype(np.intp)
+    strip[yi, xi] = np.maximum(strip[yi, xi], value)
 
 
 def camera_poses_to_serializable(Rs: np.ndarray, ts: np.ndarray):

@@ -89,7 +89,10 @@ def _pos_b(t):
 
 
 def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
-                     ref_own_correspondence: bool = True) -> dict:
+                     ref_own_correspondence: bool = True,
+                     occlusions=(), n_distractors: int = 0,
+                     n_extra_markers: int = 0, max_blobs: int | None = None,
+                     return_tracks: bool = False) -> dict:
     """Run both systems on identical detection streams; return metrics.
 
     Keep ``T`` < 300: beyond its 300-sample buffer the reference's
@@ -101,6 +104,36 @@ def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
     ``ref_own_correspondence``: run the reference's own hypothesis-growth
     correspondence (``helpers.py:339-421``, cv.sfm shimmed); otherwise feed
     it ground-truth grouping (isolates triangulation+tracking).
+
+    Hard-regime scene controls (all default off -> the clean scene):
+
+    ``occlusions``: tuples ``(f0, f1, cam, m_lo, m_hi)`` — marker indices
+    ``[m_lo, m_hi)`` (drone A = 0:3, drone B = 3:6, extras after) are
+    hidden from camera ``cam`` (``cam = -1``: from ALL cameras) during
+    frames ``[f0, f1)``.  This exercises the regimes the clean harness
+    skips: points missing from some views (the reference's hypothesis
+    growth handles a missing camera by keeping the group without it,
+    ``helpers.py:402-406``) and full dropout windows, where the reference
+    emits nothing and does NOT advance its Kalman (``KalmanFilter.py:61-63``
+    ``continue``s before ``predict``) while this framework's bank predicts
+    through the gap — a documented reacquisition divergence this harness
+    measures (``postgap`` metrics below).
+
+    ``n_distractors``: per-camera persistent false blobs (static image
+    positions + the same per-frame pixel noise), fed identically to both
+    systems — they are epipolar-inconsistent across views, so they stress
+    the matchers' ghost handling (unmatched points become new roots in the
+    reference, ``helpers.py:402-406``).
+
+    ``n_extra_markers``: free-flying REAL 3D markers (slow orbits inside
+    the capture volume, visible to all cameras).  These triangulate
+    consistently, so gate-passing candidate counts routinely exceed
+    ``max_candidates_per_cam`` — the fixed-budget regime where this
+    framework's matcher truncates candidates the reference's unbounded
+    cartesian growth keeps (``helpers.py:394-400``).
+
+    ``return_tracks``: attach per-frame track dicts (``ref_tracks``,
+    ``repo_tracks``, ``truth``) for scene-specific slicing by callers.
     """
     import jax
     import jax.numpy as jnp
@@ -112,6 +145,15 @@ def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
     Rs, ts, rig = reference_rig()
     eng = EngineConfig()
     dt = 1.0 / 60.0
+    KB = max_blobs if max_blobs is not None else eng.max_blobs
+    E = n_extra_markers
+    # free-marker orbit parameters (display frame, inside the volume)
+    ex_phase = rng.uniform(0, 2 * np.pi, E)
+    ex_rad = rng.uniform(0.15, 0.35, E)
+    ex_h = rng.uniform(0.35, 0.85, E)
+    ex_om = rng.uniform(0.3, 0.9, E)
+    # persistent per-camera false blobs (static pixel positions)
+    distract = rng.uniform(40.0, 280.0, size=(4, n_distractors, 2))
 
     ref = reference_impl.load_reference()
     poses = [{"R": Rs[i].tolist(), "t": ts[i].tolist()} for i in range(4)]
@@ -141,24 +183,49 @@ def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
         phi_b = -0.5 * np.cos(0.3 * t)
         m_a = drone_markers_display(_pos_a(t), phi_a, +1, +0.01, rig)
         m_b = drone_markers_display(_pos_b(t), phi_b, -1, -0.01, rig)
-        X_disp = np.concatenate([m_a, m_b])
+        parts = [m_a, m_b]
+        if E:
+            ang = ex_phase + ex_om * t
+            parts.append(np.stack([ex_rad * np.cos(ang), ex_h,
+                                   ex_rad * np.sin(ang)], -1))
+        X_disp = np.concatenate(parts)
         X_cam = display_to_cam(X_disp).astype(np.float32)
         pts, mask = syn.observe(X_cam, Rs, ts, rig, noise_px=noise_px,
                                 rng=rng)
-        assert mask.all(), f"marker left the view at frame {f}"
+        mask = np.asarray(mask).copy()
+        for (f0, f1, cam, lo, hi) in occlusions:
+            if f0 <= f < f1:
+                if cam < 0:
+                    mask[lo:hi, :] = False
+                else:
+                    mask[lo:hi, cam] = False
+        if not (occlusions or E or n_distractors):
+            assert mask.all(), f"marker left the view at frame {f}"
         truth[0][f] = _pos_a(t)
         truth[1][f] = _pos_b(t)
 
-        # identical per-camera streams: same pixels, same shuffled order
-        blobs = np.zeros((4, eng.max_blobs, 2), np.float32)
-        valid = np.zeros((4, eng.max_blobs), bool)
+        # identical per-camera streams: same pixels (visible real markers
+        # + distractor blobs), same shuffled order
+        blobs = np.zeros((4, KB, 2), np.float32)
+        valid = np.zeros((4, KB), bool)
         cam_lists = []
         for c in range(4):
-            order = rng.permutation(6)
-            blobs[c, :6] = pts[order, c]
-            valid[c, :6] = True
+            vis = np.flatnonzero(mask[:, c])
+            cam_pts = pts[vis, c]
+            if n_distractors:
+                dpix = distract[c]
+                if noise_px:
+                    dpix = dpix + rng.normal(scale=noise_px,
+                                             size=dpix.shape)
+                cam_pts = np.concatenate(
+                    [cam_pts, dpix.astype(np.float32)])
+            n_c = len(cam_pts)
+            assert n_c <= KB, (f, c, n_c, KB)
+            order = rng.permutation(n_c)
+            blobs[c, :n_c] = cam_pts[order]
+            valid[c, :n_c] = True
             cam_lists.append(
-                [p.tolist() for p in pts[order, c].astype(np.float64)])
+                [p.tolist() for p in cam_pts[order].astype(np.float64)])
 
         # ---- reference chain ----
         if ref_own_correspondence:
@@ -201,9 +268,26 @@ def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
         return float(np.sqrt((seq ** 2).mean())) if len(seq) else float("nan")
 
     metrics = {"T": T, "noise_px": noise_px}
+    # frames inside a full-dropout occlusion window (cam == -1 covering a
+    # whole drone), plus a reacquisition transient after it: the reference
+    # does not advance its Kalman through a gap (KalmanFilter.py:61-63)
+    # while this framework predicts through it, so the two reconverge over
+    # ~the filter's settling time.  ``steady`` excludes those frames;
+    # ``postgap`` measures the transient itself.
+    gap_frames = {0: set(), 1: set()}
+    postgap_frames = {0: set(), 1: set()}
+    for (f0, f1, cam, lo, hi) in occlusions:
+        if cam < 0:
+            for idx, (dlo, dhi) in ((0, (0, 3)), (1, (3, 6))):
+                if lo <= dlo and hi >= dhi:
+                    gap_frames[idx].update(range(f0, f1))
+                    postgap_frames[idx].update(range(f1, f1 + 60))
     for idx in (0, 1):
         common = sorted(set(ref_tracks[idx]) & set(repo_tracks[idx]))
-        steady = [f for f in common if f >= 120]
+        steady = [f for f in common if f >= 120
+                  and f not in gap_frames[idx]
+                  and f not in postgap_frames[idx]]
+        postgap = [f for f in common if f in postgap_frames[idx]]
         d_rr = [np.linalg.norm(ref_tracks[idx][f] - repo_tracks[idx][f])
                 for f in common]
         d_rt = [np.linalg.norm(ref_tracks[idx][f] - truth[idx][f])
@@ -220,5 +304,24 @@ def run_differential(T: int = 240, noise_px: float = 0.3, seed: int = 7,
                  for f in steady]) * 1e3,
             "ate_ref_vs_truth_mm": rms(d_rt) * 1e3,
             "ate_repo_vs_truth_mm": rms(d_pt) * 1e3,
+            "ate_ref_vs_truth_steady_mm": rms(
+                [np.linalg.norm(ref_tracks[idx][f] - truth[idx][f])
+                 for f in steady]) * 1e3,
+            "ate_repo_vs_truth_steady_mm": rms(
+                [np.linalg.norm(repo_tracks[idx][f] - truth[idx][f])
+                 for f in steady]) * 1e3,
+            "postgap_ref_vs_repo_mm": rms(
+                [np.linalg.norm(ref_tracks[idx][f] - repo_tracks[idx][f])
+                 for f in postgap]) * 1e3,
+            "postgap_ref_vs_truth_mm": rms(
+                [np.linalg.norm(ref_tracks[idx][f] - truth[idx][f])
+                 for f in postgap]) * 1e3,
+            "postgap_repo_vs_truth_mm": rms(
+                [np.linalg.norm(repo_tracks[idx][f] - truth[idx][f])
+                 for f in postgap]) * 1e3,
         }
+    if return_tracks:
+        metrics["ref_tracks"] = ref_tracks
+        metrics["repo_tracks"] = repo_tracks
+        metrics["truth"] = truth
     return metrics

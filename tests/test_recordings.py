@@ -95,6 +95,52 @@ def test_annotated_frame_strip():
     assert (strip == 255).sum() > (raw == 255).sum()
 
 
+def test_epiline_overlay_during_triangulation():
+    """During triangulation the stream paints each root point's epilines
+    into the other cameras' tiles (reference: helpers.py:363-368 +
+    drawlines at :497-504); host-side only, not on the jitted path."""
+    from low_cost_mocap_tpu.runtime.engine import camera_poses_to_serializable
+
+    Rs, ts, rig = syn.ring_rig(num_cameras=2)
+    src = SyntheticSource(rig, Rs, ts, num_drones=1, orbit_hz=0.0)
+    eng = Engine(rig, EngineConfig(), src, CollectingLink())
+    eng.handle("capture-points", {"startOrStop": "start"})
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    frames = src.read()
+    out = eng.process_frame(frames, 1 / 60)
+    strip = eng.latest_frame_strip()
+    H = W = rig.image_size
+
+    # expected epiline of camera 0's first valid blob in camera 1's tile
+    blobs = np.asarray(out.blob_px)
+    bvalid = np.asarray(out.blob_valid)
+    k = int(np.where(bvalid[0])[0][0])
+    F = np.asarray(eng._F)
+    a, b, c = F[0, 1] @ np.array([blobs[0, k, 0], blobs[0, k, 1], 1.0])
+    if abs(b) >= abs(a):
+        xs = np.linspace(0, W - 1, 200)
+        ys = -(c + a * xs) / b
+    else:
+        ys = np.linspace(0, H - 1, 200)
+        xs = -(c + b * ys) / a
+    m = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    assert m.sum() > 20   # the line crosses the tile
+    xi = xs[m].astype(int) + W   # camera 1's tile
+    yi = ys[m].astype(int)
+    lit = strip[yi, xi] >= 150
+    assert lit.mean() > 0.8, lit.mean()
+
+    # no overlay when triangulation is off
+    eng.handle("triangulate-points", {"startOrStop": "stop"})
+    eng.process_frame(src.read(), 1 / 60)
+    strip2 = eng.latest_frame_strip()
+    lit2 = strip2[yi, xi] >= 150
+    assert lit2.mean() < 0.5, lit2.mean()
+
+
 def test_reference_mode_ba_runs():
     """mode='reference' reproduces the reference's residual layout
     (one residual per point = its mean squared error, helpers.py:264-276)."""

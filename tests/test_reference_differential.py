@@ -140,6 +140,101 @@ def test_tracked_trajectory_matches_reference_within_its_ate():
         assert r["ate_repo_vs_truth_mm"] <= r["ate_ref_vs_truth_mm"], r
 
 
+def test_partial_occlusion_tracks_through_where_reference_drops_out():
+    """HARD REGIME: one camera loses one drone's markers for 40 frames
+    (markers leaving a view — the clean harness never exercises this).
+
+    Measured divergence, documented here: the reference's hypothesis
+    growth FORCES a camera point into every group whenever anything
+    passes the 5 px epipolar gate (``helpers.py:385-399`` has no skip
+    branch in the else-arm), so when camera 2 loses drone A while
+    drone B's points still gate-pass A's epilines, every A-group is
+    poisoned and the reference emits NOTHING for A during the entire
+    window (0/40 frames, measured).  This framework's matcher always
+    enumerates the miss option (``ops/correspond.py`` ``n_opt``) and
+    recovers over half the window — losing only the frames where a
+    cross-drone ghost assembly is pixel-coherent in ALL remaining views
+    (near-epipolar-degenerate geometry; the ghost's reprojection error
+    is genuinely lower than the honest 3-view fit plus miss penalty).
+    """
+    m = differential.run_differential(T=140, occlusions=((60, 100, 2, 0, 3),))
+    occluded, clear = m[0], m[1]
+    # the reference loses exactly the occlusion window
+    assert occluded["frames_ref"] <= 100, occluded
+    # we track well over half of what it drops
+    assert occluded["frames_repo"] >= occluded["frames_ref"] + 15, occluded
+    # on common frames we stay within the reference's own error...
+    assert (occluded["ate_ref_vs_repo_mm"]
+            <= occluded["ate_ref_vs_truth_mm"] * 1.10), occluded
+    # ...and hold ground truth ~3x better through the disturbance
+    assert (occluded["ate_repo_vs_truth_mm"]
+            <= occluded["ate_ref_vs_truth_mm"] * 0.55), occluded
+    # the unoccluded drone is unaffected: steady parity as in clean scenes
+    assert clear["ate_ref_vs_repo_steady_mm"] < 3.0, clear
+    assert clear["frames_common"] >= 135, clear
+
+
+def test_full_dropout_reacquisition():
+    """HARD REGIME: a drone vanishes from ALL cameras for 30 frames
+    (0.5 s).  Both systems emit nothing during the gap (the reference
+    ``continue``s without advancing its filter, ``KalmanFilter.py:61-63``;
+    this framework freezes the bank the same way).  At reacquisition the
+    reference's finite-difference velocity spikes by the gap length
+    (``KalmanFilter.py:79`` divides a 30-frame displacement by one frame
+    dt); this framework re-seeds the filter after ``gap_reset_s``
+    (``ops/kalman.py``) and must reconverge FASTER than the reference."""
+    m = differential.run_differential(T=200, occlusions=((80, 110, -1, 0, 3),))
+    r = m[0]
+    # coverage: both systems lose (only) roughly the gap
+    assert r["frames_ref"] >= 165 and r["frames_repo"] >= 160, r
+    # steady-state (excluding gap + 60-frame reacquisition window): parity
+    assert r["ate_ref_vs_repo_steady_mm"] < 3.0, r
+    # reacquisition transient: the re-seeded bank beats the reference's
+    # velocity-spike reconvergence by a wide margin (measured 2.2 vs
+    # 10.7 mm RMS over the 60 frames after the gap)
+    assert (r["postgap_repo_vs_truth_mm"]
+            <= r["postgap_ref_vs_truth_mm"] * 0.6), r
+    # the never-occluded drone stays in clean-scene parity
+    assert m[1]["ate_ref_vs_repo_steady_mm"] < 3.0, m[1]
+
+
+def test_distractor_blobs_parity():
+    """HARD REGIME: two persistent false blobs per camera (reflections),
+    identical in both streams.  They are epipolar-inconsistent across
+    views, so they exercise ghost handling: unmatched points become new
+    roots in both systems (``helpers.py:402-406``); the garbage 3D points
+    they spawn must die in ``locate_objects``'s geometry gates / the
+    dedupe pass without disturbing the tracked drones."""
+    m = differential.run_differential(T=140, n_distractors=2)
+    for idx in (0, 1):
+        r = m[idx]
+        assert r["frames_common"] >= 125, r
+        assert r["ate_ref_vs_repo_steady_mm"] < 3.0, r
+        # neither system degrades much vs its clean-scene accuracy
+        assert r["ate_repo_vs_truth_steady_mm"] < 3.5, r
+        # and we remain at least as accurate as the reference overall
+        assert r["ate_repo_vs_truth_mm"] <= r["ate_ref_vs_truth_mm"], r
+
+
+def test_crowded_scene_beyond_candidate_budget():
+    """HARD REGIME: four extra free-flying real markers (10 markers
+    total) so gate-passing candidate counts routinely exceed
+    ``max_candidates_per_cam = 2`` — the regime where this framework's
+    fixed-budget matcher truncates candidates the reference's unbounded
+    cartesian growth keeps (``helpers.py:394-400``).  The truncation must
+    not cost tracking parity: the budget keeps the CLOSEST candidates by
+    epipolar distance (the reference sorts the same way,
+    ``helpers.py:383-385``), and the per-root argmin still sees the true
+    assembly."""
+    m = differential.run_differential(T=140, n_extra_markers=4,
+                                      max_blobs=16)
+    for idx in (0, 1):
+        r = m[idx]
+        assert r["frames_common"] >= 130, r
+        assert r["ate_ref_vs_repo_steady_mm"] < 3.5, r
+        assert r["ate_repo_vs_truth_mm"] <= r["ate_ref_vs_truth_mm"], r
+
+
 @pytest.mark.slow
 def test_tracked_trajectory_zero_noise_structural_parity():
     """With exact detections the only remaining differences are the
