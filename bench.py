@@ -30,8 +30,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 decomposition {"dispatch_floor_us", "device_tail_us", "host_ingest_us",
 "per_frame_bound", "batched_device_us", "batched_bound"}: per-frame
 fps ~= 1/(host_ingest + max(dispatch_floor, device_tail)) and batched
-fps ~= 1/max(host_ingest, batched_device + dispatch_floor/B).  The
-floor balloons 3-10x under tunnel congestion while the device terms
+fps ~= 1/max(host_ingest, batched_device).  ``device_tail_us`` is a
+scan-derived UPPER bound (a lax.scan of whole steps serializes inter-op
+parallelism the flat program overlaps — see SCALING.md §2), so
+``per_frame_bound`` is conservative; ``batched_device_us`` includes
+per-dispatch issue and reproduces the sustained figure (reconciled
+against a profiler trace of on-device exec, SCALING.md §2 round 5).
+The floor balloons 3-10x under tunnel congestion while the device terms
 never move, so the artifact itself distinguishes weather from
 regression even when every throughput pass was congested.
 """
@@ -257,26 +262,29 @@ def main():
         best_d = min(best_d, time.perf_counter() - t0)
     device_tail_us = max(best_d * 1e6 - dispatch_floor_us, 0.0) / S
 
-    # batched device time: chained dispatches of the production batched
-    # step on a device-resident batch, floor included once per B frames
+    # batched device time (exec + per-dispatch issue): chained dispatches
+    # of the production batched step on a device-resident batch.  The
+    # chain must be LONG (32) so the trailing block_until_ready — a full
+    # tunnel round trip — amortizes out: at n=8 it inflated the estimate
+    # 67 vs 48 us/frame (profiler-traced device exec is 40.8; see
+    # SCALING.md §2 round-5 reconciliation).
     batch_dev = jnp.asarray(ingest_b())
     bd_state = scan_step(bstate, batch_dev, dt, Ps, K, dist, M, Fs)[0]
     jax.block_until_ready(bd_state)
     best_bd = float("inf")
-    for _ in range(5):
-        n_bd = 8
+    for _ in range(3):
+        n_bd = 32
         t0 = time.perf_counter()
         for _ in range(n_bd):
             bd_state, bd_out = scan_step(bd_state, batch_dev, dt,
                                          Ps, K, dist, M, Fs)
         jax.block_until_ready(bd_out)
         best_bd = min(best_bd, (time.perf_counter() - t0) / n_bd)
-    batched_device_us = max(best_bd * 1e6 - dispatch_floor_us, 0.0) / B
+    batched_device_us = best_bd * 1e6 / B
 
     pf_bound = 1e6 / (host_ingest_us
                       + max(dispatch_floor_us, device_tail_us))
-    b_bound = 1e6 / max(host_ingest_us,
-                        batched_device_us + dispatch_floor_us / B)
+    b_bound = 1e6 / max(host_ingest_us, batched_device_us)
 
     def spread(samples):
         return round((max(samples) - min(samples)) / max(samples), 3)

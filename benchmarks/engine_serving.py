@@ -23,8 +23,9 @@ headline) and per-frame (the control-loop default).
 
 Prints ONE JSON line; run on the TPU for real numbers (CPU works for the
 logic).  Env: LCM_SERVE_PASSES (default 3), LCM_SERVE_DISPATCHES
-(batched dispatches per pass, default 8), LCM_SERVE_FRAMES (per-frame
-frames per pass, default 400).
+(batched dispatches per pass, default 24 — must exceed the pipeline
+depth or the figure measures the trailing drain, not steady-state
+serving), LCM_SERVE_FRAMES (per-frame frames per pass, default 400).
 """
 
 from __future__ import annotations
@@ -163,7 +164,10 @@ def main():
     from low_cost_mocap_tpu.runtime.server import MocapServer
 
     passes = int(os.environ.get("LCM_SERVE_PASSES", "3"))
-    n_disp = int(os.environ.get("LCM_SERVE_DISPATCHES", "8"))
+    # deep enough that pipelined harvests reach steady state IN the loop
+    # (depth 8 must be < dispatches/pass, or every readback lands in the
+    # trailing flush and the figure measures drain, not serving)
+    n_disp = int(os.environ.get("LCM_SERVE_DISPATCHES", "24"))
     n_pf = int(os.environ.get("LCM_SERVE_FRAMES", "400"))
     B = 128
 
@@ -187,10 +191,14 @@ def main():
     # Scan depths: through a congested tunnel the round trip can reach
     # ~70 ms, needing several batches in flight to hide it fully.
     import dataclasses
+
+    from low_cost_mocap_tpu.utils.profiling import StageTimer
+
     best_depth, best_fps = 0, out["batched_sync"]
     for depth in (2, 8):
         eng.cfg = dataclasses.replace(
             eng.cfg, readback_pipeline_depth=depth)
+        eng.timer = StageTimer()   # per-mode stages (no cross-pollution)
         fps = round(_measure(eng, frames, n_disp * B, passes, flush=True), 1)
         out[f"batched_d{depth}"] = fps
         if fps > best_fps:
@@ -200,6 +208,7 @@ def main():
     # ingest -> dispatch; decode/emit/fan-out run on a second core.
     eng.cfg = dataclasses.replace(
         eng.cfg, batch_emit_thread=True, readback_pipeline_depth=8)
+    eng.timer = StageTimer()
     eng._emit_worker = threading.Thread(
         target=eng._emit_worker_loop, daemon=True, name="lcm-batch-emit")
     eng._emit_worker.start()
@@ -209,6 +218,15 @@ def main():
         best_depth, best_fps = "worker", fps
     out["batched_mode"] = best_depth
     out["batched_none"] = best_fps
+    if best_depth != "worker":
+        # retire the worker and re-measure the winning depth mode with a
+        # fresh timer so the reported stages describe the headline row
+        eng.stop()
+        eng.cfg = dataclasses.replace(
+            eng.cfg, batch_emit_thread=False,
+            readback_pipeline_depth=best_depth)
+        eng.timer = StageTimer()
+        _measure(eng, frames, n_disp * B, 1, flush=True)
 
     got = []
     cb = got.append

@@ -203,6 +203,11 @@ class EngineConfig:
     health_enabled: bool = True
     health_freeze_frames: int = 15
     health_dark_frames: int = 90
+    # frame-compare sampling interval for freeze detection: the compare
+    # runs every Nth frame (thresholds still count frames).  Freeze is a
+    # 15-frame-scale decision; comparing every frame cost ~100 us/frame
+    # of host time on the serving loop (measured, engine_serving.py)
+    health_interval: int = 4
 
     # Batched-dispatch serving: process this many consecutive frames per
     # device dispatch — ONE XLA program with the frame-independent

@@ -117,7 +117,7 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
     dtype = state.x.dtype
     dt = jnp.asarray(dt, dtype)
     Q = jnp.eye(9, dtype=dtype) * process_noise
-    R = jnp.eye(6, dtype=dtype) * meas_noise
+    meas_noise = jnp.asarray(meas_noise, dtype)   # R = meas_noise * I6
     b, a = lowpass.butter_coeffs()
 
     def per_object(o, xs):
@@ -184,21 +184,23 @@ def update(state: KalmanState, cand_pos, cand_heading, cand_index, cand_valid,
         # iteration in batched serving; batched-vs-per-frame parity is
         # unaffected (both modes share this code).
         z = jnp.concatenate([new_pos, new_vel])
-        # full-f32 accumulation on the gain/correct matmuls: these carry
-        # metric state, and the TPU-default bf16 input truncation measurably
-        # inflates the startup transient (on-chip differential); the
-        # matrices are 9x6 — precision is free at this size
-        hi = jax.lax.Precision.HIGHEST
-        S = P_pre[:6, :6] + R                      # H @ P_pre @ H.T + R
-        K = jnp.matmul(P_pre[:, :6], jnp.linalg.inv(S),
-                       precision=hi)               # P_pre @ H.T @ inv(S)
-        x_post = x_pre + jnp.matmul(K, z - x_pre[:6],
-                                    precision=hi)  # z - H @ x_pre
-        # (I - K H) @ P_pre with H = [I6 | 0]: KH's last 3 columns are
-        # zero, so the product is P_pre - K @ P_pre[:6, :] — one 9x6 @ 6x9
-        # matmul instead of building KH and a 9x9 @ 9x9 (same exact/
-        # reduced-precision caveat as the predict slices above)
-        P_post = P_pre - jnp.matmul(K, P_pre[:6, :], precision=hi)
+        # correct via SIX SEQUENTIAL SCALAR updates: R = meas_noise * I is
+        # diagonal and H = [I6 | 0] selects components, so processing one
+        # measurement component at a time (the textbook sequential Kalman
+        # form) yields the SAME posterior as the batch update — with no
+        # 6x6 matrix inverse.  jnp.linalg.inv lowers to an LU custom call
+        # on TPU; inside the batched-serving lax.scan those custom calls
+        # were ~5 us of the ~17 us/frame scan body (profiler-traced,
+        # benchmarks/SCALING.md §2).  This form is pure VPU arithmetic
+        # (rank-1 outer products), fuses into the scan body, and needs no
+        # matmul-precision overrides at all (elementwise ops are exact
+        # f32 — stronger than the HIGHEST-precision matmuls it replaces).
+        x_post, P_post = x_pre, P_pre
+        for i in range(6):
+            Pi = P_post[:, i]                       # P @ h_i^T
+            Kv = Pi / (Pi[i] + meas_noise)          # gain column (9,)
+            x_post = x_post + Kv * (z[i] - x_post[i])
+            P_post = P_post - jnp.outer(Kv, P_post[i, :])
 
         # long-gap reacquisition: after ``gap_reset_s`` without a detection
         # the frozen prior is meaningless, so re-seed the filter from the

@@ -204,7 +204,8 @@ class Engine:
         from low_cost_mocap_tpu.runtime.health import CameraHealthMonitor
         self.health = (CameraHealthMonitor(
             rig.num_cameras, freeze_frames=cfg.health_freeze_frames,
-            dark_frames=cfg.health_dark_frames)
+            dark_frames=cfg.health_dark_frames,
+            interval=cfg.health_interval)
             if cfg.health_enabled else None)
 
     def _build_steps(self) -> None:

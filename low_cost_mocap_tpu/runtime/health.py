@@ -57,11 +57,21 @@ class CameraHealthMonitor:
     """
 
     def __init__(self, num_cameras: int, freeze_frames: int = 15,
-                 dark_frames: int = 90, stride: int = 4):
+                 dark_frames: int = 90, stride: int = 4,
+                 interval: int = 1):
         self.num_cameras = num_cameras
         self.freeze_frames = freeze_frames
         self.dark_frames = dark_frames
         self.stride = stride
+        # Sample every ``interval``-th frame: freeze detection is a
+        # 15-frame-scale decision, so comparing every frame is wasted
+        # host time on the hot serving loop (measured ~100 us/frame of a
+        # ~140 us/frame product loop at interval=1 — the engine passes 4).
+        # ``_unchanged`` still counts FRAMES (increments by ``interval``),
+        # so thresholds keep their meaning; detection latency quantizes
+        # to ``interval`` frames.
+        self.interval = interval
+        self._tick = 0
         self._prev: np.ndarray | None = None   # (C, h, w) subsampled copy
         self._unchanged = np.zeros(num_cameras, np.int64)
         self._no_blobs = np.zeros(num_cameras, np.int64)
@@ -73,15 +83,21 @@ class CameraHealthMonitor:
 
     def update(self, frames: np.ndarray) -> list[tuple[int, str]]:
         """Feed one (C, H, W) frame stack; returns status transitions."""
-        sub = np.ascontiguousarray(frames[:, ::self.stride, ::self.stride])
+        self._tick += 1
+        if self._tick % self.interval:
+            return []
+        # strided VIEW for the compare (no materialization); ONE copy to
+        # keep as prev — array_equal walks the view directly
+        sub = frames[:, ::self.stride, ::self.stride]
         if self._prev is None or self._prev.shape != sub.shape:
-            self._prev = sub.copy()
+            self._prev = np.array(sub)
             return []
         changed = np.asarray([
             not np.array_equal(sub[c], self._prev[c])
             for c in range(self.num_cameras)])
-        self._prev = sub.copy()
-        self._unchanged = np.where(changed, 0, self._unchanged + 1)
+        self._prev = np.array(sub)
+        self._unchanged = np.where(changed, 0,
+                                   self._unchanged + self.interval)
 
         transitions: list[tuple[int, str]] = []
         any_live_motion = bool(changed.any())

@@ -454,3 +454,54 @@ def test_hover_stable_at_double_tunnel_latency():
     err, vel = _hover_with_stale_poses(depth=6, jitter_frames=2)
     assert err < 0.12, err
     assert vel < 0.2, vel
+
+
+def _hover_with_batched_dispatch(B, seconds=30.0):
+    """SIL hover with ``dispatch_batch=B``: the vision step runs as ONE
+    XLA program per B frames, so the cascade receives its pose feed in
+    bursts at batch boundaries — pose age sawtooths between 1 and B
+    frames.  Returns (final position error m, final |velocity|)."""
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    loop = LoopbackLink(1)
+    loop.sims[0].set_state([0.25, -0.15, 0.07])
+    source = SimulatedRigSource(rig, Rs, ts, loop)
+    # batched mode runs on the host-detect ingest path (the serving
+    # configuration; bit-identical to the device detector, tested)
+    eng = Engine(rig, EngineConfig(dispatch_batch=B), source, loop,
+                 fast_path=True, host_detect=True)
+    eng.handle("triangulate-points", {
+        "startOrStop": "start",
+        "cameraPoses": camera_poses_to_serializable(Rs, ts),
+        "toWorldCoordsMatrix": np.eye(4).tolist()})
+    eng.handle("locate-objects", {"startOrStop": "start"})
+    eng.handle("arm-drone", {"droneArmed": [True, True]})
+    pid = [0.8, 0, 0.02, 0.4, 0, 0.0, 0.3, 0.1, 0.05,
+           0.25, 0.05, 0.08, 0.3, 0.3, 0.02, 5.0, -0.035]
+    eng.handle("set-drone-pid", {"droneIndex": 0, "dronePID": pid})
+    target = [0.0, 0.0, 0.5]
+    eng.handle("set-drone-setpoint", {"droneIndex": 0,
+                                      "droneSetpoint": target})
+    fps = 60.0
+    for f in range(int(seconds * fps)):
+        eng.process_frame(source.read(), 1.0 / fps)
+        for _ in range(5):
+            loop.tick(1.0 / fps / 5)
+        if f % 30 == 0:
+            eng.handle("arm-drone", {"droneArmed": [True, True]})
+    eng.flush_batches()
+    pos, vel, _ = loop.drone_state(0)
+    return (float(np.linalg.norm(pos - np.asarray(target))),
+            float(np.linalg.norm(vel)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("B", [2, 4, 8])
+def test_hover_stable_under_batched_dispatch(B):
+    """The batched serving mode can CLOSE THE LOOP at small B: the SIL
+    hover flies with dispatch_batch in {2, 4, 8} (pose bursts every
+    33-133 ms — inside the ~233 ms stability margin measured in the
+    latency-robustness sweep, SCALING.md §2).  Per-frame dispatch stays
+    the control default; this pins the latency-throughput frontier."""
+    err, vel = _hover_with_batched_dispatch(B)
+    assert err < 0.10, (B, err)
+    assert vel < 0.2, (B, vel)

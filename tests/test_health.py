@@ -104,7 +104,9 @@ class FreezableSource:
 
 def test_engine_masks_frozen_camera_and_recovers():
     Rs, ts, rig = syn.ring_rig(num_cameras=4)
-    cfg = EngineConfig(health_freeze_frames=4)
+    # interval=1: this test drives single-frame freeze/recover timing (the
+    # production default samples the compare every 4th frame)
+    cfg = EngineConfig(health_freeze_frames=4, health_interval=1)
     src = FreezableSource(
         SyntheticSource(rig, Rs, ts, num_drones=1, orbit_hz=0.0), cam=2)
     eng = Engine(rig, cfg, src, CollectingLink())
