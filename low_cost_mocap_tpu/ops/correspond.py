@@ -309,10 +309,87 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
         errors = jnp.concatenate(out_err)
         ok = jnp.isfinite(errors) & root_mask.reshape(C * K)
         errors = jnp.where(ok, errors, _INF)
-        return _finalize(
-            object_points, errors, ok, dedupe_eps,
-            jnp.concatenate(out_obs) if with_obs else None,
-            jnp.concatenate(out_om) if with_obs else None)
+        obs_cat = jnp.concatenate(out_obs) if with_obs else None
+        om_cat = jnp.concatenate(out_om) if with_obs else None
+
+        if dedupe_eps > 0:
+            # Dedupe-aware winner RE-SELECTION (improvement over the
+            # reference, documented): when a root's winning hypothesis
+            # reconstructs (within dedupe_eps) a point a BETTER root
+            # already explains, that winner is a ghost the dedupe pass
+            # will delete — taking the root's detection with it.  This is
+            # exactly the partial-occlusion failure measured by the
+            # vs-reference differential (utils/differential.py): with one
+            # camera occluded, a cross-object assembly with all-view
+            # support outscores the honest fewer-view assembly (miss
+            # penalty), collides with the other object's winner, and the
+            # occluded object's markers vanish — the reference loses the
+            # whole window (helpers.py:385-399 cannot even represent the
+            # miss), and the first-pass argmin here loses part of it.
+            # Scope — deliberately narrow so clean scenes are untouched
+            # (re-selecting for EVERY killed root measurably perturbed
+            # clean-scene parity: later-camera ghost roots kept finding
+            # loose "qualifying" alternatives): only a CAMERA-0 root
+            # killed by another CAMERA-0 root's winner re-selects.  Two
+            # distinct camera-0 detections reconstructing one 3D point is
+            # precisely the two-objects-aligned-in-one-view geometry of
+            # the occlusion failure; ordinary ghost duplicates (unclaimed
+            # later-camera roots re-explaining a point) keep dying
+            # silently as before.  The fallback must (a) NOT be near any
+            # better winner, (b) have >= 3-view consensus, (c) reproject
+            # below the gate.
+            N = C * K
+            i_idx = jnp.arange(N)
+            btr = ((errors[None, :] < errors[:, None])
+                   | ((errors[None, :] == errors[:, None])
+                      & (i_idx[None, :] < i_idx[:, None]))) & ok[None, :]
+            dW = jnp.sum((object_points[:, None]
+                          - object_points[None]) ** 2, -1)
+            clash = (dW < dedupe_eps ** 2) & btr             # (N, N)
+            # camera-0 roots are output slots 0..K-1 (rc-major order)
+            cam0 = i_idx < K
+            killed0 = (ok & cam0
+                       & jnp.any(clash & cam0[None, :], axis=1))  # (N,)
+            H0 = n_opt ** (C - 1)        # rc = 0 hypothesis count
+            near0 = (jnp.sum((X[:, :H0, None, :]
+                              - object_points[None, None]) ** 2, -1)
+                     < dedupe_eps ** 2)                      # (K, H0, N)
+            btr0 = btr[:K]                                   # (K, N)
+            bad0 = jnp.any(near0 & btr0[:, None, :], -1)     # (K, H0)
+            qual0 = (jnp.isfinite(err[:, :H0]) & (n_vis[:, :H0] >= 3.0)
+                     & (err[:, :H0] < gate_px * gate_px) & ~bad0)
+            s2 = jnp.where(qual0, score[:, :H0], _INF)
+            best2 = jnp.argmin(s2, axis=-1)                  # (K,)
+            a_pts = jnp.take_along_axis(
+                X[:, :H0], best2[:, None, None], axis=1)[:, 0]
+            a_err = jnp.take_along_axis(
+                err[:, :H0], best2[:, None], axis=1)[:, 0]
+            use0 = killed0[:K] & jnp.isfinite(a_err)         # (K,)
+            use_alt = jnp.concatenate(
+                [use0, jnp.zeros(N - K, bool)])
+            pad = jnp.zeros((N - K, 3), a_pts.dtype)
+            object_points = jnp.where(
+                use_alt[:, None],
+                jnp.concatenate([a_pts, pad]), object_points)
+            errors = jnp.where(
+                use_alt, jnp.concatenate([a_err, jnp.full(N - K, _INF)]),
+                errors)
+            if with_obs:
+                a_obs = jnp.take_along_axis(
+                    sel[:, :H0], best2[:, None, None, None], axis=1)[:, 0]
+                a_om = jnp.take_along_axis(
+                    msk[:, :H0], best2[:, None, None], axis=1)[:, 0]
+                obs_cat = jnp.where(
+                    use_alt[:, None, None],
+                    jnp.concatenate([a_obs, jnp.zeros_like(
+                        obs_cat[K:])]), obs_cat)
+                om_cat = jnp.where(
+                    use_alt[:, None],
+                    jnp.concatenate([a_om, jnp.zeros_like(om_cat[K:])]),
+                    om_cat)
+
+        return _finalize(object_points, errors, ok, dedupe_eps,
+                         obs_cat, om_cat)
 
     out_pts, out_err, out_ok, out_obs, out_om = [], [], [], [], []
     for rc in range(C):

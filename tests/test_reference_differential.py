@@ -151,24 +151,24 @@ def test_partial_occlusion_tracks_through_where_reference_drops_out():
     drone B's points still gate-pass A's epilines, every A-group is
     poisoned and the reference emits NOTHING for A during the entire
     window (0/40 frames, measured).  This framework's matcher always
-    enumerates the miss option (``ops/correspond.py`` ``n_opt``) and
-    recovers over half the window — losing only the frames where a
-    cross-drone ghost assembly is pixel-coherent in ALL remaining views
-    (near-epipolar-degenerate geometry; the ghost's reprojection error
-    is genuinely lower than the honest 3-view fit plus miss penalty).
+    enumerates the miss option (``ops/correspond.py`` ``n_opt``) and —
+    when a camera-0 root's winner collides with another camera-0 root's
+    (the two-objects-aligned-in-one-view ghost geometry) — re-selects
+    its best non-duplicate >= 3-view assembly (dedupe-aware winner
+    re-selection, ``ops/correspond.py``), recovering most of the window.
     """
     m = differential.run_differential(T=140, occlusions=((60, 100, 2, 0, 3),))
     occluded, clear = m[0], m[1]
     # the reference loses exactly the occlusion window
     assert occluded["frames_ref"] <= 100, occluded
-    # we track well over half of what it drops
-    assert occluded["frames_repo"] >= occluded["frames_ref"] + 15, occluded
+    # we track over 2/3 of what it drops (measured 127 vs its 100)
+    assert occluded["frames_repo"] >= occluded["frames_ref"] + 20, occluded
     # on common frames we stay within the reference's own error...
     assert (occluded["ate_ref_vs_repo_mm"]
             <= occluded["ate_ref_vs_truth_mm"] * 1.10), occluded
-    # ...and hold ground truth ~3x better through the disturbance
+    # ...and hold ground truth ~4x better through the disturbance
     assert (occluded["ate_repo_vs_truth_mm"]
-            <= occluded["ate_ref_vs_truth_mm"] * 0.55), occluded
+            <= occluded["ate_ref_vs_truth_mm"] * 0.45), occluded
     # the unoccluded drone is unaffected: steady parity as in clean scenes
     assert clear["ate_ref_vs_repo_steady_mm"] < 3.0, clear
     assert clear["frames_common"] >= 135, clear
