@@ -250,6 +250,17 @@ def main():
     assert sub.msgs > 0, "ws subscriber received nothing"
     sub.close()
     srv.stop()
+
+    # UI-decimated subscriber (serve.py --ui-decimation): every 10th
+    # object-points crosses the socket — the lever when the subscriber
+    # is a UI scene, not a recorder (in-process listeners keep full rate)
+    srv = MocapServer(eng, port=0, ui_decimation=10)
+    srv.start()
+    sub = _WsSubscriber("127.0.0.1", srv.port)
+    out["batched_ws_decim10"] = round(
+        _measure(eng, frames, n_disp * B, passes, flush=True), 1)
+    sub.close()
+    srv.stop()
     # per-stage p50s of the batched loop (ms per batch of B frames)
     s = eng.timer.summary()
     out["stage_p50_ms"] = {

@@ -153,10 +153,23 @@ class MocapServer:
     """Binds an Engine to the network surface."""
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 3001):
+                 port: int = 3001, ui_decimation: int = 1):
         self.engine = engine
         self.host = host
         self.port = port
+        # Forward every Nth per-frame stream event (object-points /
+        # image-points) to socket clients; all other events pass through
+        # at full rate.  Default 1 = every frame (reference parity,
+        # ``api/helpers.py:92,128-133`` emits per frame).  In batched
+        # serving the engine can emit tens of thousands of frames/s —
+        # far beyond what a browser scene consumes — and per-event JSON
+        # encode + socket writes cost real serving throughput (measured
+        # 8.8k -> 5.0k fps with one subscriber, engine_serving.py);
+        # decimation is the documented lever when the subscriber is a UI,
+        # not a recorder.  In-process listeners (recorders, the armed
+        # pose feed) always see every frame regardless.
+        self.ui_decimation = max(int(ui_decimation), 1)
+        self._decim_count = {"object-points": 0, "image-points": 0}
         self._clients: set = set()          # _Client | _PollSession
         self._clients_lock = threading.Lock()
         self._sessions: dict[str, _PollSession] = {}
@@ -183,6 +196,12 @@ class MocapServer:
     # -------------------------------------------------------------- wiring
 
     def _on_engine_event(self, event: str, data) -> None:
+        if self.ui_decimation > 1:
+            n = self._decim_count.get(event)
+            if n is not None:
+                self._decim_count[event] = n + 1
+                if n % self.ui_decimation:
+                    return
         self.broadcast(event, data)
 
     def broadcast(self, event: str, data) -> None:

@@ -38,6 +38,12 @@ def main(argv=None):
                         "tunneled links at N frames of latency — keep 1 "
                         "for closed-loop control, raise for high-rate "
                         "serving; composes with --cam-shards)")
+    p.add_argument("--ui-decimation", type=int, default=1,
+                   help="forward every Nth per-frame stream event "
+                        "(object-points/image-points) to socket clients; "
+                        "1 = every frame (reference parity).  The lever "
+                        "for UI subscribers under batched serving — "
+                        "in-process consumers always get every frame")
     p.add_argument("--calibration", help="calibration artifact (json) to load")
     p.add_argument("--body-markers",
                    help="JSON [[x,y,z],...] rigid-body template (engine "
@@ -139,7 +145,8 @@ def main(argv=None):
         # synthetic rigs know their own ground-truth extrinsics
         engine.set_camera_poses(Rs, ts)
 
-    server = MocapServer(engine, host=args.host, port=args.port)
+    server = MocapServer(engine, host=args.host, port=args.port,
+                         ui_decimation=args.ui_decimation)
     server.start()
     engine.start()
     print(f"console: http://{args.host}:{server.port}/  "

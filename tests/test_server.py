@@ -301,3 +301,44 @@ def test_404(server):
     conn.request("GET", "/definitely-not-here")
     assert conn.getresponse().status == 404
     conn.close()
+
+
+def test_ui_decimation_thins_stream_events_only():
+    """``ui_decimation=N`` forwards every Nth object-points/image-points
+    to socket clients (the UI lever under batched serving); other events
+    and in-process listeners keep full rate.  Default 1 = reference
+    parity (the ``server`` fixture above asserts per-frame forwarding)."""
+    Rs, ts, rig = syn.ring_rig(num_cameras=4)
+    source = SyntheticSource(rig, Rs, ts, num_drones=1)
+    eng = Engine(rig, EngineConfig(), source, CollectingLink())
+    srv = MocapServer(eng, port=0, ui_decimation=4)
+    srv.start()
+    try:
+        c = SioClient("127.0.0.1", srv.port)
+        c.wait_packet(lambda p: p.startswith("0{"))
+        c.send_text("40")
+        c.wait_packet(lambda p: p.startswith("40{"))
+
+        inproc = []
+        eng.on("image-points", inproc.append)
+        eng.handle("capture-points", {"startOrStop": "start"})
+        for _ in range(8):
+            eng.process_frame(source.read(), 1 / 60)
+        # in-process listener saw every frame
+        assert len(inproc) == 8
+        deadline = time.time() + 5
+        while len(c.events("image-points")) < 2 and time.time() < deadline:
+            c._pump(deadline)
+        # socket client saw every 4th (frames 0 and 4)
+        assert len(c.events("image-points")) == 2
+
+        # non-stream events pass through undecimated
+        for i in range(3):
+            eng.emit("link-health", {"n": i})
+        deadline = time.time() + 5
+        while len(c.events("link-health")) < 3 and time.time() < deadline:
+            c._pump(deadline)
+        assert len(c.events("link-health")) == 3
+        c.close()
+    finally:
+        srv.stop()
