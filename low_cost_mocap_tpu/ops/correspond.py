@@ -206,7 +206,13 @@ def match_points(pts, valid, Ps, gate_px: float = 5.0, max_candidates: int = 2,
     near-coincident 3D points (ghost duplicates from unclaimed detections —
     the "garbage points" the reference's own comment acknowledges,
     ``helpers.py:377-380``), only the lower-reprojection-error one survives.
-    ``dedupe_eps`` (metres) bounds "coincident"; set 0 to disable.
+    ``dedupe_eps`` (metres) bounds "coincident"; set 0 to disable.  In
+    exact mode the dedupe is additionally RE-SELECTION-aware: a camera-0
+    root whose winner collides with a better camera-0 winner (two objects
+    aligned in one view — the partial-occlusion ghost geometry) falls back
+    to its best non-duplicate >= 3-view sub-gate hypothesis instead of
+    losing its detection (see the inline block; measured on the
+    vs-reference differential's occlusion scenes).
     """
     C, K, _ = pts.shape
     n_opt = max_candidates + 1                 # ranks + "missing"
