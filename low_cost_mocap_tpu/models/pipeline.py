@@ -399,6 +399,10 @@ def scan_track_from_blobs(state, blobs_b, blob_valid_b, dts, Ps, K, dist,
     at ``computer_code/api/index.py:39-59``.
     """
     if kw.get("body_sets") or kw.get("body_template") is not None:
+        # sequential whole-step fallback: a pallas kernel launch per scan
+        # iteration buys nothing here — keep the XLA bank
+        kw = dict(kw, kalman_impl="xla")
+
         def step(st, inp):
             b, v, dt = inp
             st2, out = track_from_blobs(st, b, v, dt, Ps, K, dist,
@@ -411,23 +415,40 @@ def scan_track_from_blobs(state, blobs_b, blob_valid_b, dts, Ps, K, dist,
     kw.pop("body_template", None)
     kw.pop("max_bodies", None)
     report = kw.pop("kalman_report", "pre")
+    kalman_impl = kw.pop("kalman_impl", "auto")
 
     locate = functools.partial(_locate_frame, **kw)
     blobs_u_b, match_b, pts_b, located_b = jax.vmap(
         locate, in_axes=(0, 0, None, None, None, None, None))(
         blobs_b, blob_valid_b, Ps, K, dist, to_world_matrix, Fs)
 
-    def step(st, inp):
-        loc, dt = inp
-        st2, tracked = kalman.update(st, loc.pos, loc.heading, loc.index,
-                                     loc.valid, dt, report=report)
-        return st2, tracked
+    if _use_pallas_kalman(kalman_impl):
+        # ONE fused kernel for all B bank updates (sequential grid,
+        # state in VMEM across steps): the lax.scan body below is ~90
+        # tiny XLA ops = ~17 us/frame of the batched program; the kernel
+        # runs the identical per-step formulas at ~0.7 us/frame and is
+        # BITWISE identical to the XLA chain on TPU (verified + asserted
+        # by benchmarks/onchip_differential.py), so this swap adds zero
+        # divergence between serving modes (ops/kalman_pallas.py —
+        # incl. why per-frame mode deliberately keeps the XLA bank).
+        from low_cost_mocap_tpu.ops import kalman_pallas
 
-    # NOTE: no scan unroll here — unrolling lets XLA fuse across
-    # iterations and perturbs the Butterworth IIR by 1 ulp, breaking the
-    # tested bit-identical guarantee vs per-frame mode (worth more than
-    # the ~8% it buys; measured round 3)
-    new_state, tracked_b = jax.lax.scan(step, state, (located_b, dts))
+        new_state, tracked_b = kalman_pallas.kalman_scan(
+            state, located_b.pos, located_b.heading, located_b.index,
+            located_b.valid, dts.astype(jnp.float32), report=report)
+    else:
+        def step(st, inp):
+            loc, dt = inp
+            st2, tracked = kalman.update(st, loc.pos, loc.heading,
+                                         loc.index, loc.valid, dt,
+                                         report=report)
+            return st2, tracked
+
+        # NOTE: no scan unroll here — unrolling lets XLA fuse across
+        # iterations and perturbs the Butterworth IIR by 1 ulp, breaking
+        # the tested bit-identical guarantee vs per-frame mode (worth
+        # more than the ~8% it buys; measured round 3)
+        new_state, tracked_b = jax.lax.scan(step, state, (located_b, dts))
 
     out_b = FrameOutputs(
         blob_px=blobs_u_b,
@@ -456,6 +477,9 @@ def batched_track_from_blobs(states, blobs, blob_valid, dts, Ps, K, dist,
     benchmarks/multirig.py).  All rigs must share the static config
     (camera count, blob budget, gates, body sets).
     """
+    # a vmapped pallas_call needs an explicit batching path — the XLA
+    # bank is correct (and cheap relative to R-way batched geometry) here
+    kw.setdefault("kalman_impl", "xla")
     fn = functools.partial(track_from_blobs, **kw)
     return jax.vmap(fn)(states, blobs, blob_valid, dts, Ps, K, dist,
                         to_world_matrices, Fs)
@@ -495,13 +519,25 @@ def _locate_frame(blobs, blob_valid, Ps, K, dist, to_world_matrix, Fs, *,
     return blobs_u, match, obj_pts_world, located
 
 
+def _use_pallas_kalman(impl: str) -> bool:
+    """Resolve a ``kalman_impl`` flag ("auto"/"pallas"/"xla")."""
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    if impl != "auto":
+        raise ValueError(f"kalman_impl must be auto/pallas/xla: {impl!r}")
+    return jax.default_backend() == "tpu"
+
+
 def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
                      to_world_matrix, Fs=None, *, gate_px: float,
                      max_candidates: int, marker_dist1: float,
                      marker_dist2: float, marker_tol: float,
                      marker_side_min: float, body_template=None,
                      max_bodies: int = 2, body_sets=None,
-                     with_obs: bool = False, kalman_report: str = "pre"):
+                     with_obs: bool = False, kalman_report: str = "pre",
+                     kalman_impl: str = "auto"):
     """Post-detection tail of the per-frame step: undistort -> match ->
     world -> rigid fit -> trackers.  Split out so the camera-sharded
     distributed step (``parallel/dist_pipeline.py``) can run detection
@@ -523,9 +559,28 @@ def track_from_blobs(state, blobs, blob_valid, dt, Ps, K, dist,
         marker_dist1=marker_dist1, marker_dist2=marker_dist2,
         marker_tol=marker_tol, marker_side_min=marker_side_min,
         with_obs=with_obs)
-    new_state, tracked = kalman.update(
-        state, located.pos, located.heading, located.index, located.valid,
-        dt, report=kalman_report)
+    if kalman_impl == "pallas" and body_sets is None:
+        # Explicit opt-in only: in the PER-FRAME program a pallas call is
+        # a custom call, and custom calls serialize the tunnel's async
+        # dispatch pipelining (measured: per-frame 1,113 -> 559 fps).
+        # "auto" therefore resolves to the XLA bank here; the batched
+        # scan (scan_track_from_blobs) is where the kernel pays off, and
+        # its outputs are BITWISE identical to this XLA chain on TPU
+        # (verified over 512 random frames incl. dropouts + reseeds;
+        # asserted by benchmarks/onchip_differential.py), so the
+        # bit-identical-across-serving-modes guarantee is preserved.
+        from low_cost_mocap_tpu.ops import kalman_pallas
+
+        dt1 = jnp.asarray(dt, jnp.float32).reshape(1)
+        new_state, tracked1 = kalman_pallas.kalman_scan(
+            state, located.pos[None], located.heading[None],
+            located.index[None], located.valid[None], dt1,
+            report=kalman_report)
+        tracked = jax.tree.map(lambda x: x[0], tracked1)
+    else:
+        new_state, tracked = kalman.update(
+            state, located.pos, located.heading, located.index,
+            located.valid, dt, report=kalman_report)
 
     if body_sets:
         from low_cost_mocap_tpu.ops import body_tracker

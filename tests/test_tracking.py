@@ -172,3 +172,54 @@ def test_kalman_report_post_reduces_lag():
                       jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
                       jnp.ones((1,), bool), jnp.asarray(dt),
                       report="bogus")
+
+
+def test_pallas_kalman_scan_matches_xla_chain():
+    """The fused Pallas bank kernel (ops/kalman_pallas.py — the batched
+    serving mode's Kalman scan on TPU) runs the identical per-step
+    formulas as ``kalman.update``: interpret mode must match the XLA
+    chain through init, dropouts, association ties and the long-gap
+    re-seed.  (On the chip the two are BITWISE identical — asserted by
+    benchmarks/onchip_differential.py; this CPU test guards the
+    kernel's semantics.)"""
+    import jax
+
+    from low_cost_mocap_tpu.ops.kalman_pallas import kalman_scan
+
+    rng = np.random.default_rng(3)
+    B, M, O = 14, 8, 2
+    st = kalman.init_state(O)
+    cand_pos = rng.normal(0, 0.4, (B, M, 3)).astype(np.float32)
+    cand_h = rng.normal(0, 1, (B, M)).astype(np.float32)
+    cand_i = rng.integers(0, O, (B, M)).astype(np.int32)
+    cand_v = rng.random((B, M)) < 0.6
+    cand_v[4:8][cand_i[4:8] == 0] = False          # dropout window
+    dts = np.full((B,), 1 / 60, np.float32)
+    dts[9] = 0.7                                   # trips gap_reset_s
+
+    st_x = st
+    want = []
+    for t in range(B):
+        st_x, tr = kalman.update(
+            st_x, jnp.asarray(cand_pos[t]), jnp.asarray(cand_h[t]),
+            jnp.asarray(cand_i[t]), jnp.asarray(cand_v[t]),
+            jnp.asarray(dts[t]))
+        want.append(tr)
+
+    st_p, got = kalman_scan(
+        st, jnp.asarray(cand_pos), jnp.asarray(cand_h),
+        jnp.asarray(cand_i), jnp.asarray(cand_v), jnp.asarray(dts),
+        interpret=True)
+    for t in range(B):
+        np.testing.assert_array_equal(np.asarray(want[t].valid),
+                                      np.asarray(got.valid[t]))
+        np.testing.assert_allclose(np.asarray(want[t].pos),
+                                   np.asarray(got.pos[t]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(want[t].vel),
+                                   np.asarray(got.vel[t]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(want[t].heading),
+                                   np.asarray(got.heading[t]), atol=1e-5)
+    for leaf_w, leaf_g in zip(jax.tree.leaves(st_x), jax.tree.leaves(st_p)):
+        np.testing.assert_allclose(np.asarray(leaf_w, np.float32),
+                                   np.asarray(leaf_g, np.float32),
+                                   atol=1e-5)
